@@ -1,0 +1,14 @@
+"""Test config: run the suite on a fake 8-device CPU backend.
+
+This is the standard JAX trick for testing multi-chip sharding without
+hardware: XLA exposes 8 virtual CPU devices, so Mesh/pjit/shard_map paths
+compile and execute exactly as they would across a real TPU slice.
+Must be set before jax initializes, hence top of conftest.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()

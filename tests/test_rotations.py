@@ -1,0 +1,108 @@
+"""Unit tests for the rotation math core (analytic + round-trip cases)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from airgym_tpu.math import rotations as rot
+
+
+def rand_quats(key, n):
+    q = jax.random.normal(key, (n, 4))
+    return rot.quat_normalize(q)
+
+
+def test_quat_identity_rotate():
+    q = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+    v = jnp.array([[1.0, 2.0, 3.0]])
+    np.testing.assert_allclose(rot.quat_rotate(q, v), v, atol=1e-6)
+
+
+def test_quat_90deg_z():
+    # 90 deg about z: x-axis -> y-axis
+    s = np.sin(np.pi / 4)
+    q = jnp.array([[0.0, 0.0, s, np.cos(np.pi / 4)]])
+    v = jnp.array([[1.0, 0.0, 0.0]])
+    np.testing.assert_allclose(rot.quat_rotate(q, v),
+                               [[0.0, 1.0, 0.0]], atol=1e-6)
+
+
+def test_rotate_inverse_roundtrip():
+    key = jax.random.PRNGKey(0)
+    q = rand_quats(key, 64)
+    v = jax.random.normal(jax.random.PRNGKey(1), (64, 3))
+    v2 = rot.quat_rotate_inverse(q, rot.quat_rotate(q, v))
+    np.testing.assert_allclose(v2, v, atol=1e-5)
+
+
+def test_quat_matrix_roundtrip():
+    q = rand_quats(jax.random.PRNGKey(2), 256)
+    q = rot.quat_canonical(q)
+    q2 = rot.matrix_to_quat(rot.quat_to_matrix(q))
+    np.testing.assert_allclose(q2, q, atol=1e-5)
+
+
+def test_matrix_rotate_agree():
+    q = rand_quats(jax.random.PRNGKey(3), 64)
+    v = jax.random.normal(jax.random.PRNGKey(4), (64, 3))
+    m = rot.quat_to_matrix(q)
+    np.testing.assert_allclose(jnp.einsum("nij,nj->ni", m, v),
+                               rot.quat_rotate(q, v), atol=1e-5)
+
+
+def test_euler_xyz_roundtrip():
+    key = jax.random.PRNGKey(5)
+    e = jax.random.uniform(key, (128, 3), minval=-1.2, maxval=1.2)
+    m = rot.euler_xyz_to_matrix(e)
+    e2 = rot.matrix_to_euler_xyz(m)
+    # angles can lose ~1e-3 near |pitch| -> pi/2 in fp32 (arcsin conditioning);
+    # the rotation itself must round-trip tightly.
+    np.testing.assert_allclose(e2, e, atol=1e-2)
+    np.testing.assert_allclose(rot.euler_xyz_to_matrix(e2), m, atol=1e-5)
+
+
+def test_euler_single_axis():
+    # pure yaw (z) rotation by 0.3 rad
+    e = jnp.array([[0.0, 0.0, 0.3]])
+    m = rot.euler_xyz_to_matrix(e)
+    expected = np.array([[np.cos(0.3), -np.sin(0.3), 0],
+                         [np.sin(0.3), np.cos(0.3), 0],
+                         [0, 0, 1]])
+    np.testing.assert_allclose(m[0], expected, atol=1e-6)
+
+
+def test_yaw_from_quat():
+    for yaw in [0.0, 0.7, -2.1, 3.0]:
+        q = rot.quat_from_euler_xyz(jnp.array([[0.0, 0.0, yaw]]))
+        np.testing.assert_allclose(rot.yaw_from_quat(q)[0], yaw, atol=1e-5)
+
+
+def test_wrap_angle():
+    np.testing.assert_allclose(
+        rot.wrap_angle(jnp.array([3.5, -3.5, 0.1, jnp.pi - 0.01])),
+        [3.5 - 2 * np.pi, -3.5 + 2 * np.pi, 0.1, np.pi - 0.01], atol=1e-6)
+
+
+def test_quat_axis_is_matrix_column():
+    q = rand_quats(jax.random.PRNGKey(6), 32)
+    m = rot.quat_to_matrix(q)
+    for ax in range(3):
+        np.testing.assert_allclose(rot.quat_axis(q, ax), m[..., :, ax],
+                                   atol=1e-5)
+
+
+def test_quat_integrate_constant_rate():
+    # integrate pure z spin at 1 rad/s for 1000 x 1ms steps -> yaw = 1 rad
+    q = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+    w = jnp.array([[0.0, 0.0, 1.0]])
+    for _ in range(100):
+        q = rot.quat_integrate(q, w, 0.01)
+    np.testing.assert_allclose(rot.yaw_from_quat(q)[0], 1.0, atol=1e-4)
+
+
+def test_quat_mul_matches_matrix_composition():
+    qa = rand_quats(jax.random.PRNGKey(7), 16)
+    qb = rand_quats(jax.random.PRNGKey(8), 16)
+    m = rot.quat_to_matrix(rot.quat_mul(qa, qb))
+    m2 = rot.quat_to_matrix(qa) @ rot.quat_to_matrix(qb)
+    np.testing.assert_allclose(m, m2, atol=1e-5)
