@@ -144,21 +144,20 @@ def quat_from_euler_xyz(euler: jnp.ndarray) -> jnp.ndarray:
 
 
 def euler_xyz_to_matrix(euler: jnp.ndarray) -> jnp.ndarray:
-    """XYZ intrinsic Euler [..., 3] -> rotation matrix R = Rx @ Ry @ Rz."""
-    cx, cy, cz = jnp.cos(euler[..., 0]), jnp.cos(euler[..., 1]), jnp.cos(euler[..., 2])
-    sx, sy, sz = jnp.sin(euler[..., 0]), jnp.sin(euler[..., 1]), jnp.sin(euler[..., 2])
-    one = jnp.ones_like(cx)
-    zero = jnp.zeros_like(cx)
-    rx = jnp.stack([one, zero, zero,
-                    zero, cx, -sx,
-                    zero, sx, cx], axis=-1).reshape(euler.shape[:-1] + (3, 3))
-    ry = jnp.stack([cy, zero, sy,
-                    zero, one, zero,
-                    -sy, zero, cy], axis=-1).reshape(euler.shape[:-1] + (3, 3))
-    rz = jnp.stack([cz, -sz, zero,
-                    sz, cz, zero,
-                    zero, zero, one], axis=-1).reshape(euler.shape[:-1] + (3, 3))
-    return rx @ ry @ rz
+    """XYZ intrinsic Euler [..., 3] -> rotation matrix R = Rx @ Ry @ Rz.
+
+    Closed-form product (no matmul chain -> full fp32 accuracy on every
+    backend regardless of default matmul precision).
+    """
+    a, b, c = euler[..., 0], euler[..., 1], euler[..., 2]
+    ca, cb, cc = jnp.cos(a), jnp.cos(b), jnp.cos(c)
+    sa, sb, sc = jnp.sin(a), jnp.sin(b), jnp.sin(c)
+    m = jnp.stack([
+        cb * cc, -cb * sc, sb,
+        ca * sc + sa * sb * cc, ca * cc - sa * sb * sc, -sa * cb,
+        sa * sc - ca * sb * cc, sa * cc + ca * sb * sc, ca * cb,
+    ], axis=-1)
+    return m.reshape(euler.shape[:-1] + (3, 3))
 
 
 def matrix_to_euler_xyz(m: jnp.ndarray) -> jnp.ndarray:

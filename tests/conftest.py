@@ -12,3 +12,9 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# Numerical tests compare against fp64/analytic references; don't let the
+# backend silently run matmuls in bf16.
+jax.config.update("jax_default_matmul_precision", "highest")
