@@ -1,0 +1,3 @@
+from airgym_tpu.parallel import mesh
+
+__all__ = ["mesh"]

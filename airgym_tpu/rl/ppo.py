@@ -1,0 +1,453 @@
+"""Fully-jitted PPO trainer (reference: lib/agent/a2c_base.py +
+a2c_continuous.py + lib/core/*).
+
+One ``train_epoch`` call = the reference's play_steps + prepare_dataset +
+mini-epoch SGD loop, as a single jitted function:
+
+  * rollout: ``lax.scan`` over the horizon — policy forward, env step,
+    experience collected as stacked [H, N, ...] arrays
+    (reference play_steps, a2c_base.py:651-711),
+  * GAE with the reference's discount (a2c_base.py:463-478), reward
+    shaping x0.1 (tr_helpers.py:16-42) and value bootstrap on time-outs
+    (a2c_base.py:675-676),
+  * input/value running-mean-std normalization (running_mean_std.py),
+  * mini-epochs x contiguous minibatches (the reference's PPODataset does
+    NOT shuffle — datasets.py:6-44; we flatten env-major so minibatch
+    slices stay aligned with the sharded env axis),
+  * clipped PPO actor loss, critic loss, bounds loss, grad-norm clip
+    (a2c_continuous.py:299-369, common_losses.py),
+  * per-mini-epoch adaptive-KL learning rate x/÷1.5 against
+    kl_threshold (schedulers.py:81-94) with the reference's mu/sigma
+    write-back between mini-epochs (datasets.py update_mu_sigma),
+
+Multi-chip: the env axis of every [N, ...] array is sharded over the mesh;
+parameters/optimizer state are replicated. Loss means over the sharded
+batch make XLA insert the psum — the explicit NCCL plumbing of the
+reference (a2c_base.py:293-316) has no analogue here by construction.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from airgym_tpu.models import actor_critic as ac
+from airgym_tpu.rl.running_stats import RunningMeanStd
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """Hyperparameters; defaults = ppo_hovering.yaml:29-76."""
+    horizon: int = 24
+    minibatch_size: int = 2048
+    mini_epochs: int = 5
+    gamma: float = 0.99
+    tau: float = 0.95
+    learning_rate: float = 3e-4
+    lr_schedule: str = "adaptive"          # adaptive | fixed | linear
+    kl_threshold: float = 0.008
+    min_lr: float = 1e-6
+    max_lr: float = 1e-2
+    e_clip: float = 0.2
+    clip_value: bool = False
+    critic_coef: float = 2.0
+    entropy_coef: float = 0.0
+    bounds_loss_coef: float = 1e-4
+    grad_norm: float = 1.5
+    truncate_grads: bool = True
+    normalize_input: bool = True
+    normalize_value: bool = True
+    normalize_advantage: bool = True
+    value_bootstrap: bool = True
+    reward_shaper_scale: float = 0.1
+    max_epochs: int = 200
+    save_frequency: int = 100
+    save_best_after: int = 10
+    score_to_win: float = 1e5
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    obs_rms: Any                    # RunningMeanStd pytree (or dict) / None
+    value_rms: Optional[RunningMeanStd]
+    env_state: Any
+    obs: Any                        # last obs (raw)
+    lr: jnp.ndarray                 # scalar, adapted by KL
+    epoch: jnp.ndarray              # scalar int
+    frame: jnp.ndarray              # total env steps
+    ep_return: jnp.ndarray          # [N] running episodic return (shaped x10)
+    ep_length: jnp.ndarray          # [N] running episode length
+    last_ep_return: jnp.ndarray     # [N] return of last finished episode
+    last_ep_length: jnp.ndarray     # [N]
+    rng: jnp.ndarray
+
+
+class Rollout(NamedTuple):
+    obs: Any
+    actions: jnp.ndarray
+    neglogp: jnp.ndarray
+    values: jnp.ndarray             # normalized (model-space) values
+    mus: jnp.ndarray
+    sigmas: jnp.ndarray
+    rewards: jnp.ndarray
+    dones: jnp.ndarray
+    timeouts: jnp.ndarray
+
+
+def _tree_obs_update(rms, obs):
+    if isinstance(obs, dict):
+        return {k: rms[k].update(obs[k]) for k in rms}
+    return rms.update(obs)
+
+
+def _tree_obs_norm(rms, obs):
+    if rms is None:
+        return obs
+    if isinstance(obs, dict):
+        return {k: rms[k].normalize(obs[k]) for k in obs}
+    return rms.normalize(obs)
+
+
+class PPO:
+    """Builder: binds a functional task + model into jitted train/play fns."""
+
+    def __init__(self, task, cfg: PPOConfig = PPOConfig(),
+                 network_kw: Optional[dict] = None):
+        self.task = task
+        self.cfg = cfg
+        self.num_envs = task.cfg.num_envs
+        self.num_actions = task.cfg.num_actions
+        nkw = dict(network_kw or {})
+        self.model = ac.ActorCritic(num_actions=self.num_actions, **nkw)
+        self.optimizer = optax.adam(
+            learning_rate=1.0, b1=0.9, b2=0.999, eps=1e-8)
+        # lr is folded in manually (scale by -lr after adam) so the adaptive
+        # schedule can change it inside jit.
+
+        self.batch_size = self.num_envs * cfg.horizon
+        self.num_minibatches = max(1, self.batch_size // cfg.minibatch_size)
+        assert self.batch_size % self.num_minibatches == 0
+
+    # ------------------------------------------------------------------ init
+
+    def _obs_spec(self):
+        """Shape/dtype spec of a single-env observation."""
+        if getattr(self.task, "obs_is_dict", False):
+            return {k: v for k, v in self.task.obs_spec.items()}
+        return (self.task.num_obs,)
+
+    def init(self, key) -> TrainState:
+        k_env, k_model, k_rng = jax.random.split(key, 3)
+        env_state = self.task.initial_state(k_env)
+        # reset() semantics: zero-action step to get first obs
+        env_state, out0 = self.task.step(
+            env_state, jnp.zeros((self.num_envs, self.num_actions)))
+        obs = out0.obs
+
+        sample = jax.tree.map(lambda x: x[:1], obs)
+        params = self.model.init(k_model, sample)
+
+        obs_rms = None
+        if self.cfg.normalize_input:
+            if isinstance(obs, dict):
+                obs_rms = {k: RunningMeanStd.create(v.shape[1:])
+                           for k, v in obs.items()}
+            else:
+                obs_rms = RunningMeanStd.create(obs.shape[1:])
+        value_rms = (RunningMeanStd.create(()) if self.cfg.normalize_value
+                     else None)
+
+        n = self.num_envs
+        return TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            obs_rms=obs_rms,
+            value_rms=value_rms,
+            env_state=env_state,
+            obs=obs,
+            lr=jnp.asarray(self.cfg.learning_rate, jnp.float32),
+            epoch=jnp.asarray(0, jnp.int32),
+            frame=jnp.asarray(0, jnp.int64 if jax.config.jax_enable_x64
+                              else jnp.int32),
+            ep_return=jnp.zeros((n,)),
+            ep_length=jnp.zeros((n,)),
+            last_ep_return=jnp.zeros((n,)),
+            last_ep_length=jnp.zeros((n,)),
+            rng=k_rng,
+        )
+
+    # --------------------------------------------------------------- rollout
+
+    def _policy(self, params, obs_rms, obs, key):
+        norm_obs = _tree_obs_norm(obs_rms, obs)
+        mu, sigma, value = self.model.apply(params, norm_obs)
+        noise = jax.random.normal(key, mu.shape)
+        action = mu + sigma * noise
+        nlp = ac.neglogp(action, mu, sigma, jnp.log(sigma))
+        return action, nlp, mu, sigma, value[..., 0]
+
+    def rollout(self, ts: TrainState) -> Tuple[TrainState, Rollout, jnp.ndarray]:
+        cfg = self.cfg
+
+        def step_fn(carry, _):
+            env_state, obs, ep_ret, ep_len, last_ret, last_len, rng = carry
+            rng, k_act = jax.random.split(rng)
+            action, nlp, mu, sigma, value = self._policy(
+                ts.params, ts.obs_rms, obs, k_act)
+            clamped = jnp.clip(action, -1.0, 1.0)
+            env_state, out = self.task.step(env_state, clamped)
+
+            # episode stats (reference a2c_base.py:680-695)
+            ep_ret = ep_ret + out.reward
+            ep_len = ep_len + 1.0
+            done_f = out.reset.astype(ep_ret.dtype)
+            last_ret = jnp.where(out.reset, ep_ret, last_ret)
+            last_len = jnp.where(out.reset, ep_len, last_len)
+            ep_ret = ep_ret * (1.0 - done_f)
+            ep_len = ep_len * (1.0 - done_f)
+
+            data = Rollout(obs=obs, actions=action, neglogp=nlp,
+                           values=value, mus=mu, sigmas=sigma,
+                           rewards=out.reward, dones=out.reset,
+                           timeouts=out.timeout)
+            return ((env_state, out.obs, ep_ret, ep_len, last_ret, last_len,
+                     rng), data)
+
+        carry0 = (ts.env_state, ts.obs, ts.ep_return, ts.ep_length,
+                  ts.last_ep_return, ts.last_ep_length, ts.rng)
+        carry, traj = jax.lax.scan(step_fn, carry0, None, length=cfg.horizon)
+        env_state, obs, ep_ret, ep_len, last_ret, last_len, rng = carry
+
+        # value of the final observation for bootstrapping
+        _, _, _, _, last_value = self._policy(
+            ts.params, ts.obs_rms, obs, jax.random.PRNGKey(0))
+
+        ts = ts._replace(env_state=env_state, obs=obs, ep_return=ep_ret,
+                         ep_length=ep_len, last_ep_return=last_ret,
+                         last_ep_length=last_len, rng=rng)
+        return ts, traj, last_value
+
+    # ------------------------------------------------------------------- GAE
+
+    def compute_gae(self, ts: TrainState, traj: Rollout, last_value):
+        cfg = self.cfg
+        denorm = (ts.value_rms.denormalize if cfg.normalize_value
+                  else (lambda v: v))
+        values = denorm(traj.values)          # [H, N]
+        last_v = denorm(last_value)           # [N]
+
+        rew = traj.rewards * cfg.reward_shaper_scale
+        if cfg.value_bootstrap:
+            # reference bootstraps with V(s_t) on time-outs
+            # (a2c_base.py:675-676)
+            rew = rew + cfg.gamma * values * traj.timeouts.astype(rew.dtype)
+
+        nonterminal = 1.0 - traj.dones.astype(rew.dtype)
+
+        def gae_step(carry, inp):
+            lastgaelam, next_value = carry
+            r, v, nt = inp
+            delta = r + cfg.gamma * next_value * nt - v
+            lastgaelam = delta + cfg.gamma * cfg.tau * nt * lastgaelam
+            return (lastgaelam, v), lastgaelam
+
+        (_, _), adv = jax.lax.scan(
+            gae_step, (jnp.zeros_like(last_v), last_v),
+            (rew, values, nonterminal), reverse=True)
+        returns = adv + values
+        return values, adv, returns
+
+    # ---------------------------------------------------------------- update
+
+    def _loss_fn(self, params, obs_rms, value_rms, mb):
+        cfg = self.cfg
+        norm_obs = _tree_obs_norm(obs_rms, mb["obs"])
+        mu, sigma, value = self.model.apply(params, norm_obs)
+        value = value[..., 0]
+        logstd = jnp.log(sigma)
+        nlp = ac.neglogp(mb["actions"], mu, sigma, logstd)
+
+        # clipped surrogate (common_losses.py:39-48)
+        ratio = jnp.exp(mb["neglogp"] - nlp)
+        surr1 = mb["adv"] * ratio
+        surr2 = mb["adv"] * jnp.clip(ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip)
+        a_loss = jnp.maximum(-surr1, -surr2)
+
+        # critic (common_losses.py:6-20); clip_value False in all YAMLs
+        if cfg.clip_value:
+            v_pred_clipped = mb["values"] + jnp.clip(
+                value - mb["values"], -cfg.e_clip, cfg.e_clip)
+            c_loss = jnp.maximum(jnp.square(value - mb["returns"]),
+                                 jnp.square(v_pred_clipped - mb["returns"]))
+        else:
+            c_loss = jnp.square(value - mb["returns"])
+
+        # bounds loss (a2c_continuous.py:382-390)
+        soft_bound = 1.1
+        b_loss = jnp.sum(
+            jnp.square(jnp.maximum(mu - soft_bound, 0.0))
+            + jnp.square(jnp.minimum(mu + soft_bound, 0.0)), axis=-1)
+
+        ent = ac.entropy(logstd)
+
+        total = (jnp.mean(a_loss)
+                 + 0.5 * cfg.critic_coef * jnp.mean(c_loss)
+                 - cfg.entropy_coef * jnp.mean(ent)
+                 + cfg.bounds_loss_coef * jnp.mean(b_loss))
+
+        # diagnostics + adaptive-lr KL (torch_ext.policy_kl :27-36)
+        kl = _policy_kl(mb["mus"], mb["sigmas"], mu, sigma)
+        clip_frac = jnp.mean(
+            (jnp.abs(ratio - 1.0) > cfg.e_clip).astype(jnp.float32))
+        aux = {"a_loss": jnp.mean(a_loss), "c_loss": jnp.mean(c_loss),
+               "b_loss": jnp.mean(b_loss), "entropy": jnp.mean(ent),
+               "kl": kl, "clip_frac": clip_frac,
+               "mu": mu, "sigma": sigma}
+        return total, aux
+
+    def update(self, ts: TrainState, dataset: Dict[str, Any]):
+        cfg = self.cfg
+        nmb = self.num_minibatches
+        mb_size = self.batch_size // nmb
+
+        # reshape flat [B, ...] -> [nmb, mb, ...]
+        def split_mb(x):
+            return jax.tree.map(
+                lambda a: a.reshape((nmb, mb_size) + a.shape[1:]), x)
+
+        batched = {k: split_mb(v) for k, v in dataset.items()}
+
+        def minibatch_step(carry, idx):
+            params, opt_state, lr, mus, sigmas = carry
+            mb = {k: jax.tree.map(lambda a: a[idx], v)
+                  for k, v in batched.items()}
+            mb["mus"] = mus[idx]
+            mb["sigmas"] = sigmas[idx]
+            (loss, aux), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True)(params, ts.obs_rms,
+                                             ts.value_rms, mb)
+            if cfg.truncate_grads:
+                gnorm = optax.global_norm(grads)
+                scale = jnp.minimum(1.0, cfg.grad_norm /
+                                    jnp.maximum(gnorm, 1e-6))
+                grads = jax.tree.map(lambda g: g * scale, grads)
+            updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                       params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            params = optax.apply_updates(params, updates)
+            # mu/sigma write-back (reference datasets.py update_mu_sigma)
+            mus = mus.at[idx].set(aux.pop("mu"))
+            sigmas = sigmas.at[idx].set(aux.pop("sigma"))
+            return (params, opt_state, lr, mus, sigmas), (loss, aux)
+
+        def mini_epoch(carry, _):
+            params, opt_state, lr, mus, sigmas = carry
+            (params, opt_state, lr, mus, sigmas), (losses, auxs) = \
+                jax.lax.scan(minibatch_step,
+                             (params, opt_state, lr, mus, sigmas),
+                             jnp.arange(nmb))
+            av_kl = jnp.mean(auxs["kl"])
+            if cfg.lr_schedule == "adaptive":
+                # AdaptiveScheduler (schedulers.py:81-94)
+                lr = jnp.where(av_kl > 2.0 * cfg.kl_threshold,
+                               jnp.maximum(lr / 1.5, cfg.min_lr), lr)
+                lr = jnp.where(av_kl < 0.5 * cfg.kl_threshold,
+                               jnp.minimum(lr * 1.5, cfg.max_lr), lr)
+            return (params, opt_state, lr, mus, sigmas), \
+                {"loss": jnp.mean(losses), "kl": av_kl,
+                 "a_loss": jnp.mean(auxs["a_loss"]),
+                 "c_loss": jnp.mean(auxs["c_loss"]),
+                 "b_loss": jnp.mean(auxs["b_loss"]),
+                 "entropy": jnp.mean(auxs["entropy"]),
+                 "clip_frac": jnp.mean(auxs["clip_frac"])}
+
+        mus0 = batched["mus_init"]
+        sigmas0 = batched["sigmas_init"]
+        carry0 = (ts.params, ts.opt_state, ts.lr, mus0, sigmas0)
+        (params, opt_state, lr, _, _), metrics = jax.lax.scan(
+            mini_epoch, carry0, None, length=cfg.mini_epochs)
+        metrics = jax.tree.map(lambda x: x[-1], metrics)
+        ts = ts._replace(params=params, opt_state=opt_state, lr=lr)
+        return ts, metrics
+
+    # ------------------------------------------------------------ train step
+
+    def train_epoch(self, ts: TrainState):
+        """play_steps + prepare_dataset + mini-epoch updates, one jit."""
+        cfg = self.cfg
+        ts, traj, last_value = self.rollout(ts)
+        values, adv, returns = self.compute_gae(ts, traj, last_value)
+
+        # running-stat updates from this epoch's batch
+        if cfg.normalize_input:
+            ts = ts._replace(obs_rms=_tree_obs_update(ts.obs_rms, traj.obs))
+        if cfg.normalize_value:
+            vr = ts.value_rms.update(values).update(returns)
+            ts = ts._replace(value_rms=vr)
+            norm = ts.value_rms.normalize
+            values_m, returns_m = norm(values), norm(returns)
+        else:
+            values_m, returns_m = values, returns
+
+        if cfg.normalize_advantage:
+            adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
+
+        # flatten [H, N, ...] env-major -> [N*H, ...] so contiguous
+        # minibatches align with the sharded env axis
+        def flat(x):
+            x = jnp.swapaxes(x, 0, 1)
+            return x.reshape((self.batch_size,) + x.shape[2:])
+
+        dataset = {
+            "obs": jax.tree.map(flat, traj.obs),
+            "actions": flat(traj.actions),
+            "neglogp": flat(traj.neglogp),
+            "values": flat(values_m),
+            "returns": flat(returns_m),
+            "adv": flat(adv),
+            "mus_init": flat(traj.mus),
+            "sigmas_init": flat(traj.sigmas),
+        }
+
+        ts, metrics = self.update(ts, dataset)
+        ts = ts._replace(epoch=ts.epoch + 1,
+                         frame=ts.frame + self.batch_size)
+        metrics = dict(metrics)
+        metrics["lr"] = ts.lr
+        metrics["mean_reward"] = jnp.mean(ts.last_ep_return)
+        metrics["mean_ep_length"] = jnp.mean(ts.last_ep_length)
+        metrics["reward_raw_per_step"] = jnp.mean(traj.rewards)
+        return ts, metrics
+
+    def make_train_epoch(self, donate: bool = True):
+        return jax.jit(self.train_epoch,
+                       donate_argnums=(0,) if donate else ())
+
+    # ------------------------------------------------------------------ play
+
+    def play_step(self, ts_or_params, obs_rms, env_state, obs,
+                  deterministic: bool = True, key=None):
+        """One eval step (reference players.py get_action: deterministic=mu)."""
+        params = ts_or_params
+        norm_obs = _tree_obs_norm(obs_rms, obs)
+        mu, sigma, _ = self.model.apply(params, norm_obs)
+        if deterministic or key is None:
+            action = mu
+        else:
+            action = mu + sigma * jax.random.normal(key, mu.shape)
+        action = jnp.clip(action, -1.0, 1.0)
+        env_state, out = self.task.step(env_state, action)
+        return env_state, out
+
+
+def _policy_kl(mu0, sigma0, mu1, sigma1):
+    """Mean KL(N(mu0,s0) || N(mu1,s1)) (reference torch_ext.policy_kl)."""
+    c = (jnp.log(sigma1 / sigma0 + 1e-7)
+         + (jnp.square(sigma0) + jnp.square(mu1 - mu0))
+         / (2.0 * jnp.square(sigma1) + 1e-7) - 0.5)
+    return jnp.mean(jnp.sum(c, axis=-1))
