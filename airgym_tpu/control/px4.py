@@ -322,7 +322,8 @@ def action_limits(mode: str, task: str = "hovering"):
     if mode == "atti":
         return np.array([-1, -1, -1, -1, 0.0]), np.array([1, 1, 1, 1, 1.0])
     if mode == "rate":
-        if task in ("avoid", "planning", "maplanning", "customized", "depthgen"):
+        if task in ("balloon", "avoid", "planning", "maplanning",
+                    "customized", "depthgen"):
             return np.array([-1.0, -1, -1, 0]), np.array([1.0, 1, 1, 1])
         return np.array([-6.0, -6, -6, 0]), np.array([6.0, 6, 6, 1])
     if mode == "prop":

@@ -1,0 +1,135 @@
+"""Contract tests for Balloon, Tracking, Avoid, Planning."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import airgym_tpu.envs as envs
+
+N = 8
+
+
+def rollout(task, steps=6, key=0):
+    s = task.initial_state(jax.random.PRNGKey(key))
+    step = jax.jit(task.step)
+    outs = []
+    a = jnp.zeros((task.cfg.num_envs, task.cfg.num_actions))
+    for _ in range(steps):
+        s, out = step(s, a)
+        outs.append(out)
+    return s, outs
+
+
+def test_registry_has_all_tasks():
+    names = envs.registered_tasks()
+    for t in ["hovering", "balloon", "tracking", "avoid", "planning"]:
+        assert t in names, names
+
+
+def test_balloon_contract():
+    task = envs.make_task("balloon", ctl_mode="rate", num_envs=N,
+                          obs_noise=False)
+    s, outs = rollout(task)
+    out = outs[-1]
+    assert out.obs.shape == (N, 18)
+    assert out.priv_obs.shape == (N, 1, 13)
+    expected = {"guidance_reward", "hit_reward", "action_smoothness_reward",
+                "effort_reward", "ups_reward", "reward"}
+    assert expected == set(out.info)
+    assert bool(jnp.all(jnp.isfinite(out.reward)))
+    # balloon x in [2, 3]
+    assert float(s.balloon[:, 0].min()) >= 2.0
+    assert float(s.balloon[:, 0].max()) <= 3.0
+
+
+def test_balloon_hit_gives_800():
+    task = envs.make_task("balloon", ctl_mode="rate", num_envs=N,
+                          obs_noise=False)
+    s = task.initial_state(jax.random.PRNGKey(0))
+    # teleport env 0 onto the balloon
+    root = s.core.root.at[0, 0:3].set(s.balloon[0, 0:3])
+    root = root.at[0, 7].set(0.1)  # moving forward (vx>0 kill rule)
+    s = s._replace(core=s.core._replace(root=root,
+                                        reset_buf=jnp.zeros(N, bool)))
+    s2, out = jax.jit(task.step)(s, jnp.zeros((N, 4)))
+    assert float(out.info["hit_reward"][0]) == 800.0
+    assert bool(out.reset[0])
+
+
+def test_tracking_contract():
+    task = envs.make_task("tracking", ctl_mode="rate", num_envs=N,
+                          obs_noise=False)
+    s, outs = rollout(task)
+    out = outs[-1]
+    assert out.obs.shape == (N, 48)
+    assert "dist_norm" in out.info
+    # reference trajectory starts near (0, 0, 1): rel-future obs magnitudes
+    # are small at episode start
+    assert bool(jnp.all(jnp.isfinite(out.obs)))
+
+
+def test_tracking_lemniscate_shape():
+    task = envs.make_task("tracking", ctl_mode="rate", num_envs=2)
+    ref = task.ref_trajectory(jnp.zeros((2,), jnp.int32))
+    assert ref.shape == (2, 10, 3)
+    np.testing.assert_allclose(ref[:, :, 2], 1.0)
+    np.testing.assert_allclose(ref[0, 0, 0:2], 0.0, atol=1e-6)
+    # quarter period t = pi/2 -> x = 3, y = 0
+    prog = jnp.full((2,), int((np.pi / 2) / (0.01 * 0.25)), jnp.int32)
+    ref = task.ref_trajectory(prog)
+    np.testing.assert_allclose(ref[0, 0], [3.0, 0.0, 1.0], atol=1e-2)
+
+
+def test_avoid_contract():
+    task = envs.make_task("avoid", ctl_mode="rate", num_envs=N,
+                          obs_noise=False)
+    s, outs = rollout(task, steps=5)
+    out = outs[-1]
+    assert set(out.obs) == {"image", "observation"}
+    assert out.obs["observation"].shape == (N, 16)
+    assert out.obs["image"].shape == (N, 1, 212, 120)
+    assert "alive_reward" in out.info
+    # the thrown cube moves toward the drone (for non-parked envs)
+    moving = np.array(s.obj[:, 0]) > -100
+    if moving.any():
+        assert bool(jnp.all(jnp.isfinite(s.obj)))
+
+
+def test_avoid_cube_collision_kills():
+    task = envs.make_task("avoid", ctl_mode="rate", num_envs=N,
+                          obs_noise=False)
+    s = task.initial_state(jax.random.PRNGKey(1))
+    obj = s.obj.at[0, 0:3].set(s.core.root[0, 0:3])  # cube on the drone
+    s = s._replace(obj=obj,
+                   core=s.core._replace(reset_buf=jnp.zeros(N, bool)))
+    s2, out = jax.jit(task.step)(s, jnp.zeros((N, 4)))
+    assert float(out.info["alive_reward"][0]) == -500.0
+    assert bool(out.reset[0])
+
+
+def test_planning_contract():
+    task = envs.make_task("planning", ctl_mode="rate", num_envs=4,
+                          obs_noise=False)
+    s, outs = rollout(task, steps=5, key=3)
+    out = outs[-1]
+    assert out.obs["observation"].shape == (4, 16)
+    assert out.obs["image"].shape == (4, 1, 212, 120)
+    for k in ["heading_reward", "esdf_reward", "reach_goal_reward",
+              "forward_reward", "alive_reward"]:
+        assert k in out.info, k
+    # after 4+ steps the camera has rendered at least once: image nonzero
+    assert float(jnp.abs(out.obs["image"]).max()) > 0.0
+    # drone starts at the corridor entrance aimed at the goal
+    assert bool(jnp.all(jnp.isfinite(out.reward)))
+
+
+def test_planning_reach_goal():
+    task = envs.make_task("planning", ctl_mode="rate", num_envs=4,
+                          obs_noise=False)
+    s = task.initial_state(jax.random.PRNGKey(4))
+    root = s.core.root.at[0, 0:3].set(s.goal[0])
+    s = s._replace(core=s.core._replace(root=root,
+                                        reset_buf=jnp.zeros(4, bool)))
+    s2, out = jax.jit(task.step)(s, jnp.zeros((4, 4)))
+    assert float(out.info["reach_goal_reward"][0]) == 200.0
+    assert bool(out.reset[0])
