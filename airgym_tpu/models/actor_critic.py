@@ -55,26 +55,46 @@ class MLP(nn.Module):
         return x
 
 
-class CNNEncoder(nn.Module):
-    """Depth-image feature extractor (reference lib/network/cnn.py:3-34):
-    three conv(3x3, stride 2)+norm blocks -> global average pool -> fc.
+class FrozenBatchNorm(nn.Module):
+    """Eval-mode BatchNorm: y = scale * (x - mean) / sqrt(var + eps) + bias
+    with running statistics stored as (non-updated) parameters so torch
+    checkpoints import/export losslessly. Inside the jitted RL train loop
+    batch statistics are never collected (the reference's BN also runs in
+    a noisy, momentum-lagged regime during rollouts; freezing them keeps
+    the model a pure function — scale/bias still learn)."""
+    features: int
 
-    BatchNorm in the reference; GroupNorm here — identical capacity,
-    batch-independent, and far friendlier to jit/vmap/sharding (no mutable
-    batch statistics threading through the rollout scan).
-    """
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        mean = jax.lax.stop_gradient(mean)
+        var = jax.lax.stop_gradient(var)
+        return (x - mean) * scale * jax.lax.rsqrt(var + 1e-5) + bias
+
+
+class CNNEncoder(nn.Module):
+    """Depth-image feature extractor, layer-for-layer the reference
+    CNNFeatureExtractor (lib/network/cnn.py:3-34): conv(16,5,s2) -> ReLU
+    -> BN, conv(32,3,s2) -> ReLU -> BN, conv(64,3,s2) -> ReLU -> BN,
+    global avg pool, fc(64 -> feature_dim). Checkpoint keys round-trip to
+    ``actor_cnn.features.{0,3,6}`` / ``.features.{2,5,8}`` / ``.fc``."""
     feature_dim: int = 30
 
     @nn.compact
     def __call__(self, x):
         # x: [B, C, W, H] (reference image layout [N,1,212,120]) -> NHWC
         x = jnp.transpose(x, (0, 2, 3, 1))
-        for ch in (32, 64, 128):
-            x = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME")(x)
-            x = nn.GroupNorm(num_groups=8)(x)
+        for i, (ch, k) in enumerate([(16, 5), (32, 3), (64, 3)]):
+            x = nn.Conv(ch, (k, k), strides=(2, 2),
+                        padding=((k // 2, k // 2), (k // 2, k // 2)),
+                        name=f"conv{i}")(x)
             x = nn.relu(x)
+            x = FrozenBatchNorm(ch, name=f"bn{i}")(x)
         x = jnp.mean(x, axis=(1, 2))          # adaptive avg pool to 1x1
-        return nn.Dense(self.feature_dim)(x)
+        return nn.Dense(self.feature_dim, name="fc")(x)
 
 
 class ActorCritic(nn.Module):
@@ -82,6 +102,14 @@ class ActorCritic(nn.Module):
 
     obs: either [B, D] array or {'image': [B,C,W,H], 'observation': [B,D]}.
     Returns (mu [B,A], sigma [B,A], value [B, 1]).
+
+    Normalization placement matches the reference model exactly
+    (a2c_continuous_logstd_model.py:142-157): the image is normalized
+    per-pixel first, the encoder runs on the normalized image, and the
+    running-mean-std for 'observation' covers the CONCATENATED
+    [observation ++ features] vector (46-dim for the shipped planning
+    checkpoint). ``obs_rms`` is passed in (an immutable pytree owned by
+    the trainer) rather than being torch-style mutable buffers.
     """
     num_actions: int
     units: Sequence[int] = (64, 128, 64)
@@ -90,21 +118,37 @@ class ActorCritic(nn.Module):
     image_feature_dim: int = 30
     vae_latent_dim: int = 64
 
-    @nn.compact
-    def __call__(self, obs):
+    def encode(self, obs, obs_rms=None):
+        """-> (mlp input after normalization, pre-normalization vector).
+
+        The pre-norm vector is what the trainer feeds back into the
+        running stats (the reference updates them inside train-mode
+        forwards; here stats are updated functionally once per epoch).
+        """
         if isinstance(obs, dict):
             img = obs["image"]
             vec = obs["observation"]
+            if obs_rms is not None:
+                img = obs_rms["image"].normalize(img)
             if self.image_encoder == "vae":
                 from airgym_tpu.models.vae import VAEEncoder
                 feat = VAEEncoder(latent_dim=self.vae_latent_dim,
-                                  deterministic=True)(img)
+                                  name="actor_enc")(img)
             else:
-                feat = CNNEncoder(feature_dim=self.image_feature_dim)(img)
-            x = jnp.concatenate([feat, vec], axis=-1)
+                feat = CNNEncoder(feature_dim=self.image_feature_dim,
+                                  name="actor_cnn")(img)
+            prenorm = jnp.concatenate([vec, feat], axis=-1)
+            x = (obs_rms["observation"].normalize(prenorm)
+                 if obs_rms is not None else prenorm)
         else:
-            x = obs
-        x = MLP(self.units, self.activation)(x)
+            prenorm = obs
+            x = obs_rms.normalize(obs) if obs_rms is not None else obs
+        return x, prenorm
+
+    @nn.compact
+    def __call__(self, obs, obs_rms=None, return_prenorm: bool = False):
+        x, prenorm = self.encode(obs, obs_rms)
+        x = MLP(self.units, self.activation, name="actor_mlp")(x)
         mu = nn.Dense(self.num_actions, kernel_init=scaled_init(0.1),
                       name="mu")(x)
         value = nn.Dense(1, kernel_init=scaled_init(0.1), name="value")(x)
@@ -113,6 +157,8 @@ class ActorCritic(nn.Module):
         logstd = self.param("logstd", nn.initializers.zeros,
                             (self.num_actions,))
         sigma = jnp.exp(logstd) * jnp.ones_like(mu)
+        if return_prenorm:
+            return mu, sigma, value, prenorm
         return mu, sigma, value
 
 

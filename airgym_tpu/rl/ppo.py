@@ -89,6 +89,7 @@ class TrainState(NamedTuple):
 
 class Rollout(NamedTuple):
     obs: Any
+    prenorm: jnp.ndarray           # pre-normalization mlp-input vector
     actions: jnp.ndarray
     neglogp: jnp.ndarray
     values: jnp.ndarray             # normalized (model-space) values
@@ -155,8 +156,15 @@ class PPO:
         obs_rms = None
         if self.cfg.normalize_input:
             if isinstance(obs, dict):
-                obs_rms = {k: RunningMeanStd.create(v.shape[1:])
-                           for k, v in obs.items()}
+                # 'observation' stats cover [obs ++ encoder features]
+                _, _, _, prenorm = self.model.apply(
+                    params, sample, None, return_prenorm=True)
+                obs_rms = {
+                    "image": RunningMeanStd.create(
+                        obs["image"].shape[1:]),
+                    "observation": RunningMeanStd.create(
+                        prenorm.shape[1:]),
+                }
             else:
                 obs_rms = RunningMeanStd.create(obs.shape[1:])
         value_rms = (RunningMeanStd.create(()) if self.cfg.normalize_value
@@ -184,12 +192,12 @@ class PPO:
     # --------------------------------------------------------------- rollout
 
     def _policy(self, params, obs_rms, obs, key):
-        norm_obs = _tree_obs_norm(obs_rms, obs)
-        mu, sigma, value = self.model.apply(params, norm_obs)
+        mu, sigma, value, prenorm = self.model.apply(
+            params, obs, obs_rms, return_prenorm=True)
         noise = jax.random.normal(key, mu.shape)
         action = mu + sigma * noise
         nlp = ac.neglogp(action, mu, sigma, jnp.log(sigma))
-        return action, nlp, mu, sigma, value[..., 0]
+        return action, nlp, mu, sigma, value[..., 0], prenorm
 
     def rollout(self, ts: TrainState) -> Tuple[TrainState, Rollout, jnp.ndarray]:
         cfg = self.cfg
@@ -197,7 +205,7 @@ class PPO:
         def step_fn(carry, _):
             env_state, obs, ep_ret, ep_len, last_ret, last_len, rng = carry
             rng, k_act = jax.random.split(rng)
-            action, nlp, mu, sigma, value = self._policy(
+            action, nlp, mu, sigma, value, prenorm = self._policy(
                 ts.params, ts.obs_rms, obs, k_act)
             clamped = jnp.clip(action, -1.0, 1.0)
             env_state, out = self.task.step(env_state, clamped)
@@ -211,7 +219,8 @@ class PPO:
             ep_ret = ep_ret * (1.0 - done_f)
             ep_len = ep_len * (1.0 - done_f)
 
-            data = Rollout(obs=obs, actions=action, neglogp=nlp,
+            data = Rollout(obs=obs, prenorm=prenorm, actions=action,
+                           neglogp=nlp,
                            values=value, mus=mu, sigmas=sigma,
                            rewards=out.reward, dones=out.reset,
                            timeouts=out.timeout)
@@ -224,7 +233,7 @@ class PPO:
         env_state, obs, ep_ret, ep_len, last_ret, last_len, rng = carry
 
         # value of the final observation for bootstrapping
-        _, _, _, _, last_value = self._policy(
+        _, _, _, _, last_value, _ = self._policy(
             ts.params, ts.obs_rms, obs, jax.random.PRNGKey(0))
 
         ts = ts._replace(env_state=env_state, obs=obs, ep_return=ep_ret,
@@ -266,8 +275,7 @@ class PPO:
 
     def _loss_fn(self, params, obs_rms, value_rms, mb):
         cfg = self.cfg
-        norm_obs = _tree_obs_norm(obs_rms, mb["obs"])
-        mu, sigma, value = self.model.apply(params, norm_obs)
+        mu, sigma, value = self.model.apply(params, mb["obs"], obs_rms)
         value = value[..., 0]
         logstd = jnp.log(sigma)
         nlp = ac.neglogp(mb["actions"], mu, sigma, logstd)
@@ -383,9 +391,20 @@ class PPO:
         ts, traj, last_value = self.rollout(ts)
         values, adv, returns = self.compute_gae(ts, traj, last_value)
 
-        # running-stat updates from this epoch's batch
+        # running-stat updates from this epoch's batch. For dict obs the
+        # 'observation' stats cover the concatenated [obs ++ features]
+        # vector (reference model norm placement); the image stats are
+        # per-pixel.
         if cfg.normalize_input:
-            ts = ts._replace(obs_rms=_tree_obs_update(ts.obs_rms, traj.obs))
+            if isinstance(ts.obs_rms, dict):
+                obs_rms = dict(ts.obs_rms)
+                obs_rms["image"] = obs_rms["image"].update(
+                    traj.obs["image"])
+                obs_rms["observation"] = obs_rms["observation"].update(
+                    traj.prenorm)
+                ts = ts._replace(obs_rms=obs_rms)
+            else:
+                ts = ts._replace(obs_rms=ts.obs_rms.update(traj.prenorm))
         if cfg.normalize_value:
             vr = ts.value_rms.update(values).update(returns)
             ts = ts._replace(value_rms=vr)
@@ -434,8 +453,7 @@ class PPO:
                   deterministic: bool = True, key=None):
         """One eval step (reference players.py get_action: deterministic=mu)."""
         params = ts_or_params
-        norm_obs = _tree_obs_norm(obs_rms, obs)
-        mu, sigma, _ = self.model.apply(params, norm_obs)
+        mu, sigma, _ = self.model.apply(params, obs, obs_rms)
         if deterministic or key is None:
             action = mu
         else:

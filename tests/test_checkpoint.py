@@ -1,0 +1,110 @@
+"""Checkpoint tests: native round-trip, .pth export/import, and loading
+the reference's shipped trained/planning_cnn_rate.pth (AirGym-Real
+compatibility)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import airgym_tpu.envs as envs
+from airgym_tpu.models import actor_critic as ac
+from airgym_tpu.rl import checkpoint as ckpt
+from airgym_tpu.rl import ppo as ppo_mod
+
+REF_CKPT = "/root/reference/trained/planning_cnn_rate.pth"
+
+
+def mlp_trainer(n=8):
+    task = envs.make_task("hovering", ctl_mode="rate", num_envs=n,
+                          obs_noise=False)
+    return ppo_mod.PPO(task, ppo_mod.PPOConfig(horizon=4, minibatch_size=16))
+
+
+def test_native_roundtrip(tmp_path):
+    tr = mlp_trainer()
+    ts = tr.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "ck.pkl")
+    ckpt.save(path, ts, extra={"note": "test"})
+    ts2, extra = ckpt.load(path)
+    assert extra["note"] == "test"
+    a = jax.tree.leaves(ts.params)
+    b = jax.tree.leaves(ts2["params"] if isinstance(ts2, dict) else
+                        ts2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_pth_export_import_roundtrip(tmp_path):
+    tr = mlp_trainer()
+    ts = tr.init(jax.random.PRNGKey(1))
+    path = str(tmp_path / "ck.pth")
+    ckpt.export_pth(path, ts)
+
+    params2, obs_rms2, value_rms2, meta = ckpt.import_pth(
+        path, ts.params, ts.obs_rms, ts.value_rms)
+    for x, y in zip(jax.tree.leaves(ts.params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ts.obs_rms.mean),
+                               np.asarray(obs_rms2.mean), atol=1e-6)
+    # forward pass agrees
+    obs = jnp.ones((3, 18))
+    m1 = tr.model.apply(ts.params, obs)
+    m2 = tr.model.apply(params2, obs)
+    np.testing.assert_allclose(np.asarray(m1[0]), np.asarray(m2[0]),
+                               atol=1e-6)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CKPT),
+                    reason="reference checkpoint not present")
+def test_load_reference_planning_checkpoint():
+    """The shipped rl_games-format planning CNN checkpoint must load into
+    our Planning model and produce finite actions."""
+    task = envs.make_task("planning", ctl_mode="rate", num_envs=2,
+                          obs_noise=False)
+    tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(horizon=2, minibatch_size=4),
+                     network_kw={"image_encoder": "cnn",
+                                 "image_feature_dim": 30})
+    ts = tr.init(jax.random.PRNGKey(0))
+    params, obs_rms, value_rms, meta = ckpt.import_pth(
+        REF_CKPT, ts.params, ts.obs_rms, ts.value_rms)
+    assert meta["epoch"] > 0
+    obs = {"image": jnp.full((2, 1, 212, 120), 0.5),
+           "observation": jnp.zeros((2, 16))}
+    mu, sigma, value = tr.model.apply(params, obs, obs_rms)
+    assert mu.shape == (2, 4)
+    assert bool(jnp.all(jnp.isfinite(mu)))
+    assert bool(jnp.all(jnp.isfinite(value)))
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CKPT),
+                    reason="reference checkpoint not present")
+def test_mlp_to_cnn_partial_transfer(tmp_path):
+    """Reference a2c_continuous.py:423-471: an MLP-only hovering checkpoint
+    warm-starts a CNN planning model (mismatched first layer stays fresh)."""
+    tr_mlp = mlp_trainer()
+    ts_mlp = tr_mlp.init(jax.random.PRNGKey(2))
+    path = str(tmp_path / "mlp.pth")
+    ckpt.export_pth(path, ts_mlp)
+
+    task = envs.make_task("planning", ctl_mode="rate", num_envs=2,
+                          obs_noise=False)
+    tr_cnn = ppo_mod.PPO(task, ppo_mod.PPOConfig(horizon=2,
+                                                 minibatch_size=4),
+                         network_kw={"image_encoder": "cnn",
+                                     "image_feature_dim": 30})
+    ts_cnn = tr_cnn.init(jax.random.PRNGKey(3))
+    params, obs_rms, _, _ = ckpt.import_pth(
+        path, ts_cnn.params, ts_cnn.obs_rms, ts_cnn.value_rms)
+    # logstd transferred
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["logstd"]),
+        np.asarray(ts_mlp.params["params"]["logstd"]), atol=1e-6)
+    # first MLP layer kept fresh (shape differs: 18 vs 46 inputs)
+    assert params["params"]["actor_mlp"]["Dense_0"]["kernel"].shape[0] == 46
+    # later layers transferred from the MLP checkpoint
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["actor_mlp"]["Dense_1"]["kernel"]),
+        np.asarray(ts_mlp.params["params"]["actor_mlp"]["Dense_1"]
+                   ["kernel"]), atol=1e-6)

@@ -45,7 +45,7 @@ def test_gae_matches_numpy_reference():
     last_v = rng.randn(N).astype(np.float32)
 
     traj = ppo_mod.Rollout(
-        obs=None, actions=None, neglogp=None,
+        obs=None, prenorm=None, actions=None, neglogp=None,
         values=jnp.asarray(values), mus=None, sigmas=None,
         rewards=jnp.asarray(rewards) / tr.cfg.reward_shaper_scale,
         dones=jnp.asarray(dones), timeouts=jnp.zeros((H, N), bool))
