@@ -121,7 +121,9 @@ class PPO:
                  network_kw: Optional[dict] = None):
         self.task = task
         self.cfg = cfg
-        self.num_envs = task.cfg.num_envs
+        # actor count: num_envs, or num_envs * num_agents for multi-agent
+        # tasks that flatten the robot axis (reference a2c_base.py:196)
+        self.num_envs = getattr(task, "flat_n", task.cfg.num_envs)
         self.num_actions = task.cfg.num_actions
         nkw = dict(network_kw or {})
         self.model = ac.ActorCritic(num_actions=self.num_actions, **nkw)
@@ -224,12 +226,14 @@ class PPO:
                            values=value, mus=mu, sigmas=sigma,
                            rewards=out.reward, dones=out.reset,
                            timeouts=out.timeout)
+            info_means = {k: jnp.mean(v) for k, v in out.info.items()}
             return ((env_state, out.obs, ep_ret, ep_len, last_ret, last_len,
-                     rng), data)
+                     rng), (data, info_means))
 
         carry0 = (ts.env_state, ts.obs, ts.ep_return, ts.ep_length,
                   ts.last_ep_return, ts.last_ep_length, ts.rng)
-        carry, traj = jax.lax.scan(step_fn, carry0, None, length=cfg.horizon)
+        carry, (traj, infos) = jax.lax.scan(step_fn, carry0, None,
+                                            length=cfg.horizon)
         env_state, obs, ep_ret, ep_len, last_ret, last_len, rng = carry
 
         # value of the final observation for bootstrapping
@@ -239,7 +243,7 @@ class PPO:
         ts = ts._replace(env_state=env_state, obs=obs, ep_return=ep_ret,
                          ep_length=ep_len, last_ep_return=last_ret,
                          last_ep_length=last_len, rng=rng)
-        return ts, traj, last_value
+        return ts, traj, last_value, infos
 
     # ------------------------------------------------------------------- GAE
 
@@ -388,7 +392,7 @@ class PPO:
     def train_epoch(self, ts: TrainState):
         """play_steps + prepare_dataset + mini-epoch updates, one jit."""
         cfg = self.cfg
-        ts, traj, last_value = self.rollout(ts)
+        ts, traj, last_value, infos = self.rollout(ts)
         values, adv, returns = self.compute_gae(ts, traj, last_value)
 
         # running-stat updates from this epoch's batch. For dict obs the
@@ -441,6 +445,14 @@ class PPO:
         metrics["mean_reward"] = jnp.mean(ts.last_ep_return)
         metrics["mean_ep_length"] = jnp.mean(ts.last_ep_length)
         metrics["reward_raw_per_step"] = jnp.mean(traj.rewards)
+        # diagnostics: explained variance of the value function
+        # (reference dignostics.py / torch_ext.explained_variance)
+        var_ret = jnp.var(returns)
+        metrics["explained_variance"] = 1.0 - jnp.var(
+            returns - values) / (var_ret + 1e-8)
+        # per-term Episode/ means (reference RLGPUAlgoObserver)
+        for k, v in infos.items():
+            metrics[f"Episode/{k}"] = jnp.mean(v)
         return ts, metrics
 
     def make_train_epoch(self, donate: bool = True):

@@ -1,0 +1,274 @@
+"""Training/eval runner (reference: lib/torch_runner.py + scripts/runner.py
+host loop + lib/agent/players.py).
+
+``Runner.load(yaml_cfg)`` consumes the reference's YAML schema
+(scripts/config/ppo_<task>.yaml — params.config.* hyperparameters,
+params.network.* architecture incl. the cnn/vae blocks) and ``run(args)``
+dispatches train/play. The training host loop only logs, checkpoints, and
+prints the fps line (reference a2c_continuous.py:204-294 +
+print_statistics :19-33); every numeric step is inside the jitted
+train_epoch.
+
+Multi-host: per-process seed offset like the reference's rank offset
+(torch_runner.py:44); rank-0-only logging/saving via
+parallel.mesh.is_main_process.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import airgym_tpu.envs as envs
+from airgym_tpu.parallel import mesh as pmesh
+from airgym_tpu.rl import checkpoint as ckpt
+from airgym_tpu.rl import metrics as metrics_mod
+from airgym_tpu.rl import ppo as ppo_mod
+
+
+def network_kw_from_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """reference network YAML block -> ActorCritic kwargs
+    (model ``load``, a2c_continuous_logstd_model.py:200-227)."""
+    net = params.get("network", {})
+    mlp = net.get("mlp", {})
+    kw: Dict[str, Any] = {}
+    if "units" in mlp:
+        kw["units"] = tuple(mlp["units"])
+    if "activation" in mlp:
+        kw["activation"] = mlp["activation"]
+    if "cnn" in net:
+        kw["image_encoder"] = "cnn"
+        kw["image_feature_dim"] = int(net["cnn"].get("output_dim", 30))
+    if "vae" in net:
+        kw["image_encoder"] = "vae"
+        kw["vae_latent_dim"] = int(net["vae"].get("latent_dims", 64))
+    return kw
+
+
+def ppo_config_from_params(params: Dict[str, Any]) -> ppo_mod.PPOConfig:
+    c = params.get("config", {})
+    g = lambda k, d: c.get(k, d)
+    return ppo_mod.PPOConfig(
+        horizon=int(g("horizon_length", 24)),
+        minibatch_size=int(g("minibatch_size", 2048)),
+        mini_epochs=int(g("mini_epochs", 5)),
+        gamma=float(g("gamma", 0.99)),
+        tau=float(g("tau", 0.95)),
+        learning_rate=float(g("learning_rate", 3e-4)),
+        lr_schedule=g("lr_schedule", "adaptive"),
+        kl_threshold=float(g("kl_threshold", 0.008)),
+        e_clip=float(g("e_clip", 0.2)),
+        clip_value=bool(g("clip_value", False)),
+        critic_coef=float(g("critic_coef", 2.0)),
+        entropy_coef=float(g("entropy_coef", 0.0)),
+        bounds_loss_coef=float(g("bounds_loss_coef", 1e-4)),
+        grad_norm=float(g("grad_norm", 1.5)),
+        truncate_grads=bool(g("truncate_grads", True)),
+        normalize_input=bool(g("normalize_input", True)),
+        normalize_value=bool(g("normalize_value", True)),
+        normalize_advantage=bool(g("normalize_advantage", True)),
+        value_bootstrap=bool(g("value_bootstrap", True)),
+        reward_shaper_scale=float(
+            g("reward_shaper", {}).get("scale_value", 1.0)
+            if isinstance(g("reward_shaper", {}), dict) else 1.0),
+        max_epochs=int(g("max_epochs", 200)),
+        save_frequency=int(g("save_frequency", 100)),
+        save_best_after=int(g("save_best_after", 10)),
+        score_to_win=float(g("score_to_win", 1e5)),
+    )
+
+
+class Runner:
+    """reference lib/torch_runner.py Runner."""
+
+    def __init__(self, observer=None):
+        self.observer = observer
+        self.params: Dict[str, Any] = {}
+
+    def load(self, yaml_cfg: Dict[str, Any]):
+        self.params = yaml_cfg.get("params", yaml_cfg)
+        return self
+
+    # -- construction ------------------------------------------------------
+
+    def _build(self, args: Dict[str, Any]):
+        cfg = self.params.get("config", {})
+        task_name = args.get("task") or cfg.get("env_name", "hovering")
+        num_envs = int(args.get("num_envs") or cfg.get("num_actors", 256))
+        ctl_mode = args.get("ctl_mode", "rate")
+        seed = int(args.get("seed") or self.params.get("seed", 42) or 42)
+        if seed == -1:
+            seed = int(np.random.randint(0, 2 ** 31 - 1))
+        # per-process seed offset (reference torch_runner.py:44)
+        seed += jax.process_index()
+
+        task = envs.make_task(task_name, ctl_mode=ctl_mode,
+                              num_envs=num_envs)
+        trainer = ppo_mod.PPO(task, ppo_config_from_params(self.params),
+                              network_kw=network_kw_from_params(self.params))
+        return task, trainer, seed
+
+    # -- train -------------------------------------------------------------
+
+    def run_train(self, args: Dict[str, Any]):
+        task, trainer, seed = self._build(args)
+        cfg = trainer.cfg
+        name = self.params.get("config", {}).get("name", task.task_name)
+        run_dir = os.path.join(
+            args.get("run_root", "runs"),
+            f"{name}_{time.strftime('%d-%H-%M-%S')}")
+        writer = (metrics_mod.MetricsWriter(run_dir)
+                  if pmesh.is_main_process() else None)
+
+        ts = trainer.init(jax.random.PRNGKey(seed))
+        if args.get("checkpoint"):
+            ts = self.restore(trainer, ts, args["checkpoint"])
+
+        mesh = pmesh.make_mesh()
+        if len(mesh.devices.flat) > 1:
+            ts = pmesh.shard_env_batch(ts, mesh, trainer.num_envs)
+        step = trainer.make_train_epoch()
+
+        best_reward = -1e9
+        start = time.time()
+        last_t = start
+        epoch = int(ts.epoch)
+        while epoch < cfg.max_epochs:
+            t0 = time.time()
+            ts, m = step(ts)
+            jax.block_until_ready(ts.lr)
+            t1 = time.time()
+            epoch = int(ts.epoch)
+            frame = int(ts.frame)
+            mean_rew = float(m["mean_reward"])
+
+            if writer is not None:
+                fps = trainer.batch_size / max(t1 - t0, 1e-9)
+                scalars = {
+                    "losses/a_loss": float(m["a_loss"]),
+                    "losses/c_loss": float(m["c_loss"]),
+                    "losses/bounds_loss": float(m["b_loss"]),
+                    "losses/entropy": float(m["entropy"]),
+                    "info/last_lr": float(m["lr"]),
+                    "info/kl": float(m["kl"]),
+                    "info/epochs": epoch,
+                    "performance/step_inference_rl_update_fps": fps,
+                    "rewards/frame": mean_rew,
+                    "rewards/iter": mean_rew,
+                    "episode_lengths/frame": float(m["mean_ep_length"]),
+                    "diagnostics/clip_frac": float(m["clip_frac"]),
+                    "diagnostics/explained_variance":
+                        float(m["explained_variance"]),
+                }
+                for k, v in m.items():
+                    if k.startswith("Episode/"):
+                        scalars[k] = float(v)
+                writer.add_scalars(scalars, frame)
+                print(f"fps total: {fps:.0f} epoch: {epoch}/"
+                      f"{cfg.max_epochs} frames: {frame} "
+                      f"mean_reward: {mean_rew:.2f} lr: {float(m['lr']):.2e}")
+
+            if pmesh.is_main_process():
+                ck_dir = os.path.join(run_dir, "nn")
+                if epoch >= cfg.save_best_after and mean_rew > best_reward:
+                    best_reward = mean_rew
+                    self.save(trainer, ts, os.path.join(ck_dir, name))
+                if cfg.save_frequency and epoch % cfg.save_frequency == 0:
+                    self.save(trainer, ts, os.path.join(
+                        ck_dir, f"last_{name}_ep_{epoch}"))
+                if mean_rew > cfg.score_to_win:
+                    break
+
+        if pmesh.is_main_process():
+            self.save(trainer, ts,
+                      os.path.join(run_dir, "nn", f"last_{name}"))
+        if writer is not None:
+            writer.close()
+        total = time.time() - start
+        return ts, {"best_reward": best_reward, "epochs": epoch,
+                    "wall_time_s": total, "run_dir": run_dir}
+
+    # -- play --------------------------------------------------------------
+
+    def run_play(self, args: Dict[str, Any]):
+        task, trainer, seed = self._build(args)
+        player = Player(task, trainer)
+        if args.get("checkpoint"):
+            player.restore(args["checkpoint"])
+        games = int(self.params.get("config", {}).get(
+            "player", {}).get("games_num", 10))
+        return player.run(max_steps=int(args.get("max_steps", 1000)),
+                          seed=seed)
+
+    def run(self, args: Dict[str, Any]):
+        if args.get("train"):
+            return self.run_train(args)
+        return self.run_play(args)
+
+    # -- checkpoints -------------------------------------------------------
+
+    def save(self, trainer, ts, path_no_ext: str):
+        ckpt.save(path_no_ext + ".ckpt", ts)
+        ckpt.export_pth(path_no_ext + ".pth", ts)
+
+    def restore(self, trainer, ts, path: str):
+        if path.endswith(".pth"):
+            params, obs_rms, value_rms, meta = ckpt.import_pth(
+                path, ts.params, ts.obs_rms, ts.value_rms)
+            return ts._replace(
+                params=jax.tree.map(jnp.asarray, params),
+                obs_rms=obs_rms, value_rms=value_rms,
+                epoch=jnp.asarray(meta["epoch"], jnp.int32),
+                frame=jnp.asarray(meta["frame"], ts.frame.dtype))
+        loaded, _ = ckpt.load(path)
+        return jax.tree.map(lambda t, l: jnp.asarray(l), ts, loaded)
+
+
+class Player:
+    """Deterministic evaluator (reference lib/agent/players.py:204-290,
+    339-362: action = mu, clamped)."""
+
+    def __init__(self, task, trainer: ppo_mod.PPO):
+        self.task = task
+        self.trainer = trainer
+        self.ts = trainer.init(jax.random.PRNGKey(0))
+
+    def restore(self, path: str):
+        runner = Runner()
+        self.ts = runner.restore(self.trainer, self.ts, path)
+
+    def run(self, max_steps: int = 1000, seed: int = 0,
+            chunk: int = 100):
+        ts = self.ts
+        env_state = self.task.initial_state(jax.random.PRNGKey(seed))
+        n_rows = getattr(self.task, "flat_n", self.task.cfg.num_envs)
+        env_state, out = self.task.step(
+            env_state, jnp.zeros((n_rows, self.task.cfg.num_actions)))
+        obs = out.obs
+
+        def body(carry, _):
+            env_state, obs = carry
+            mu, _, _ = self.trainer.model.apply(ts.params, obs, ts.obs_rms)
+            action = jnp.clip(mu, -1.0, 1.0)
+            env_state, out = self.task.step(env_state, action)
+            return (env_state, out.obs), (out.reward, out.reset)
+
+        run_chunk = jax.jit(lambda c: jax.lax.scan(body, c, None,
+                                                   length=chunk))
+        rewards, resets = [], []
+        carry = (env_state, obs)
+        for _ in range(max(1, max_steps // chunk)):
+            carry, (r, d) = run_chunk(carry)
+            rewards.append(np.asarray(r))
+            resets.append(np.asarray(d))
+        rewards = np.concatenate(rewards, 0)
+        resets = np.concatenate(resets, 0)
+        games = max(1, int(resets.sum()))
+        mean_reward = float(rewards.sum() / games)
+        print(f"av reward: {mean_reward:.2f} games played: {games}")
+        return {"mean_reward": mean_reward, "games": games,
+                "steps": rewards.shape[0]}

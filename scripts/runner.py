@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""CLI entry point (reference: scripts/runner.py + airgym/utils/helpers.py
+get_args). Usage mirrors the reference:
+
+    python scripts/runner.py --train --task hovering --ctl_mode rate \
+        [--num_envs N] [--checkpoint path] [--seed S] [--file cfg.yaml]
+    python scripts/runner.py --play --task hovering --ctl_mode rate \
+        --checkpoint runs/.../nn/ppo_hovering.ckpt
+
+Selects scripts/config/ppo_<task>.yaml unless --file is given
+(reference runner.py:52-58); CLI flags override YAML values
+(update_config, reference runner.py:19-44).
+"""
+import argparse
+import os
+import sys
+
+import yaml
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def get_args(argv=None):
+    """reference airgym/utils/helpers.py:82-116 custom parameters."""
+    p = argparse.ArgumentParser("airgym_tpu runner")
+    p.add_argument("--task", default="hovering",
+                   choices=["hovering", "balloon", "tracking", "avoid",
+                            "planning", "maplanning", "depthgen"])
+    p.add_argument("--ctl_mode", required=True,
+                   choices=["pos", "vel", "atti", "rate", "prop"])
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--play", action="store_true")
+    p.add_argument("--num_envs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--headless", action="store_true",
+                   help="accepted for reference-CLI compatibility; the TPU "
+                        "backend has no viewer")
+    p.add_argument("--file", default=None,
+                   help="algorithm config YAML (default: "
+                        "scripts/config/ppo_<task>.yaml)")
+    p.add_argument("--max_steps", type=int, default=1000)
+    return p.parse_args(argv)
+
+
+def update_config(cfg, args):
+    """Merge CLI overrides into the YAML config (reference runner.py:19-44)."""
+    c = cfg["params"]["config"]
+    if args.task:
+        c["env_name"] = args.task
+    if args.num_envs:
+        c["num_actors"] = args.num_envs
+    if args.seed is not None:
+        cfg["params"]["seed"] = args.seed
+    return cfg
+
+
+def main(argv=None):
+    args = get_args(argv)
+    cfg_path = args.file or os.path.join(
+        os.path.dirname(__file__), "config", f"ppo_{args.task}.yaml")
+    with open(cfg_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg = update_config(cfg, args)
+
+    from airgym_tpu.rl.runner import Runner
+    runner = Runner()
+    runner.load(cfg)
+    run_args = {
+        "train": args.train and not args.play,
+        "task": args.task,
+        "ctl_mode": args.ctl_mode,
+        "num_envs": args.num_envs,
+        "seed": args.seed,
+        "checkpoint": args.checkpoint,
+        "max_steps": args.max_steps,
+    }
+    return runner.run(run_args)
+
+
+if __name__ == "__main__":
+    main()

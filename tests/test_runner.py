@@ -1,0 +1,74 @@
+"""End-to-end runner tests: YAML -> train a few epochs -> checkpoint ->
+play (reference call stacks 3.1/3.2)."""
+import os
+
+import jax
+import numpy as np
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def tiny_cfg(**updates):
+    with open(os.path.join(REPO, "scripts/config/ppo_hovering.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    c = cfg["params"]["config"]
+    c.update({"num_actors": 16, "horizon_length": 8, "minibatch_size": 32,
+              "max_epochs": 3, "save_frequency": 0, "mini_epochs": 2})
+    c.update(updates)
+    return cfg
+
+
+def test_yaml_parsing_matches_reference_schema():
+    from airgym_tpu.rl import runner as rmod
+    cfg = tiny_cfg()
+    pcfg = rmod.ppo_config_from_params(cfg["params"])
+    assert pcfg.gamma == 0.99
+    assert pcfg.reward_shaper_scale == 0.1
+    assert pcfg.kl_threshold == 0.008
+    nkw = rmod.network_kw_from_params(cfg["params"])
+    assert nkw["units"] == (64, 128, 64)
+    assert nkw["activation"] == "elu"
+
+
+def test_cnn_vae_network_kw():
+    from airgym_tpu.rl import runner as rmod
+    params = {"network": {"mlp": {"units": [64], "activation": "relu"},
+                          "cnn": {"output_dim": 30}}}
+    kw = rmod.network_kw_from_params(params)
+    assert kw["image_encoder"] == "cnn" and kw["image_feature_dim"] == 30
+    params = {"network": {"vae": {"latent_dims": 64}}}
+    kw = rmod.network_kw_from_params(params)
+    assert kw["image_encoder"] == "vae" and kw["vae_latent_dim"] == 64
+
+
+def test_train_and_play_roundtrip(tmp_path):
+    from airgym_tpu.rl.runner import Runner
+    runner = Runner().load(tiny_cfg())
+    ts, result = runner.run({"train": True, "task": "hovering",
+                             "ctl_mode": "rate", "num_envs": 16,
+                             "seed": 3, "run_root": str(tmp_path)})
+    assert result["epochs"] == 3
+    run_dir = result["run_dir"]
+    last = os.path.join(run_dir, "nn", "last_ppo_hovering.ckpt")
+    assert os.path.exists(last)
+    assert os.path.exists(last.replace(".ckpt", ".pth"))
+    # events were logged
+    assert os.path.getsize(os.path.join(run_dir, "events.jsonl")) > 0
+
+    out = Runner().load(tiny_cfg()).run(
+        {"train": False, "task": "hovering", "ctl_mode": "rate",
+         "num_envs": 8, "checkpoint": last, "max_steps": 100, "seed": 0})
+    assert np.isfinite(out["mean_reward"])
+
+
+def test_cli_parses_reference_flags():
+    import scripts.runner as sr
+    args = sr.get_args(["--task", "hovering", "--ctl_mode", "rate",
+                        "--train", "--num_envs", "64", "--seed", "7"])
+    assert args.task == "hovering" and args.num_envs == 64
+    cfg = tiny_cfg()
+    cfg = sr.update_config(cfg, args)
+    assert cfg["params"]["config"]["num_actors"] == 64
+    assert cfg["params"]["seed"] == 7
