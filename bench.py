@@ -1,15 +1,19 @@
-"""Benchmark: Hovering env throughput at 8192 envs (BASELINE.json metric).
+"""Benchmark: Hovering throughput + PPO convergence (BASELINE.json metrics).
 
-Measures raw env-steps/sec of the fully-jitted Hovering step (controller
-cascade + 6-DoF physics + obs/reward/termination/reset) chained with
-``lax.scan`` so per-call dispatch overhead amortizes — this is exactly how
-the PPO rollout consumes the env.
+Two measurements on the flagship task:
+  1. raw env-steps/sec of the fully-jitted Hovering step (controller
+     cascade + 6-DoF physics + obs/reward/termination/reset) at 8192 envs,
+     scan-chained like the PPO rollout consumes it;
+  2. the reference's full training run (4096 envs, 200 epochs, default
+     hyperparams = ppo_hovering.yaml) — wall-clock to convergence and
+     training env-steps/sec, PPO updates included.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "env_steps/s", "vs_baseline": x}
-vs_baseline is against the 10M steps/s target from BASELINE.json
-(the reference itself publishes no numbers; its implicit bar is a single
-RTX 4090 bottlenecked by a per-step CPU controller round-trip).
+Prints ONE JSON line. ``value``/``vs_baseline`` carry the headline metric
+(env steps/s vs the 10M steps/s target from BASELINE.json, which was set
+for a v5e-8 — this runs on however many chips are visible); the training
+numbers ride along as extra fields. The reference's own implicit bar:
+RTX 4090, 4096 envs, "minutes" to converge Hovering, throttled by its
+per-step CPU->C++ controller round-trip (hovering.py:217-254).
 """
 import json
 import time
@@ -18,14 +22,18 @@ import jax
 import jax.numpy as jnp
 
 import airgym_tpu.envs as envs
+from airgym_tpu.rl import ppo as ppo_mod
 
 NUM_ENVS = 8192
 STEPS_PER_CALL = 200
 CALLS = 5
 TARGET = 10_000_000.0  # env steps/s (BASELINE.json, v5e-8)
+TRAIN_ENVS = 4096
+TRAIN_EPOCHS = 200
+CONVERGED_EP_LEN = 1800.0  # ~75% of the 2400-step episode cap
 
 
-def main():
+def bench_env_steps():
     task = envs.make_task("hovering", ctl_mode="rate", num_envs=NUM_ENVS)
     state = task.initial_state(jax.random.PRNGKey(0))
     actions = jnp.tile(
@@ -40,25 +48,63 @@ def main():
         s, rews = jax.lax.scan(body, s, None, length=STEPS_PER_CALL)
         return s, jnp.sum(rews)
 
-    # warmup/compile
-    state, _ = run_chunk(state)
+    state, _ = run_chunk(state)      # compile
     jax.block_until_ready(state)
 
     t0 = time.perf_counter()
-    total = 0.0
     for _ in range(CALLS):
         state, r = run_chunk(state)
-        total += float(r)  # forces sync each call
+        float(r)                      # sync
     dt = time.perf_counter() - t0
+    return NUM_ENVS * STEPS_PER_CALL * CALLS / dt
 
-    steps = NUM_ENVS * STEPS_PER_CALL * CALLS
-    sps = steps / dt
-    print(json.dumps({
+
+def bench_training():
+    task = envs.make_task("hovering", ctl_mode="rate", num_envs=TRAIN_ENVS)
+    tr = ppo_mod.PPO(task, ppo_mod.PPOConfig())
+    ts = tr.init(jax.random.PRNGKey(0))
+    step = tr.make_train_epoch()
+
+    t_start = time.perf_counter()
+    ts, m = step(ts)
+    jax.block_until_ready(ts.lr)
+    compile_s = time.perf_counter() - t_start
+
+    t0 = time.perf_counter()
+    converged_at = None
+    for i in range(2, TRAIN_EPOCHS + 1):
+        ts, m = step(ts)
+        if converged_at is None and i % 10 == 0:
+            if float(m["mean_ep_length"]) > CONVERGED_EP_LEN:
+                jax.block_until_ready(ts.lr)
+                converged_at = time.perf_counter() - t_start
+    jax.block_until_ready(ts.lr)
+    train_s = time.perf_counter() - t0
+    total_s = time.perf_counter() - t_start
+    steps = TRAIN_ENVS * 24 * (TRAIN_EPOCHS - 1)
+    return {
+        "train_env_steps_per_sec": round(steps / train_s, 1),
+        "train_compile_s": round(compile_s, 1),
+        "hovering_200epoch_wall_s": round(total_s, 1),
+        "hovering_convergence_wall_s": (round(converged_at, 1)
+                                        if converged_at else None),
+        "final_mean_ep_length": round(float(m["mean_ep_length"]), 1),
+        "final_mean_ep_reward": round(float(m["mean_reward"]), 1),
+    }
+
+
+def main():
+    sps = bench_env_steps()
+    train = bench_training()
+    out = {
         "metric": "hovering_env_steps_per_sec_8192envs",
         "value": round(sps, 1),
         "unit": "env_steps/s",
         "vs_baseline": round(sps / TARGET, 4),
-    }))
+        "n_devices": len(jax.devices()),
+    }
+    out.update(train)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
