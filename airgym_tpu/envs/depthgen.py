@@ -232,7 +232,7 @@ class DepthGen(base.QuadEnvCore):
         return ns, out
 
     def _render_clean(self, root, state):
-        depth = dr.render_depth(self.cam_cfg, root, self._scene(state))
+        depth = dr.render_depth_auto(self.cam_cfg, root, self._scene(state))
         img = jnp.clip(depth, 0.0, self.cam_cfg.depth_clamp) \
             / self.cam_cfg.depth_clamp
         return img[:, None]

@@ -150,7 +150,7 @@ class MAPlanning(base.QuadEnvCore):
             spheres=sc.Spheres(center=centers, radius=radius, valid=valid),
             ground=True)
         # MAPlanning's dump_images skips noise/blur: clean clamp/normalize
-        depth = dr.render_depth(self.cam_cfg, root, scene)
+        depth = dr.render_depth_auto(self.cam_cfg, root, scene)
         img = jnp.clip(depth, 0.0, self.cam_cfg.depth_clamp) \
             / self.cam_cfg.depth_clamp
         return img[:, None]

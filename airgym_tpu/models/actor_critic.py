@@ -134,6 +134,10 @@ class ActorCritic(nn.Module):
                 from airgym_tpu.models.vae import VAEEncoder
                 feat = VAEEncoder(latent_dim=self.vae_latent_dim,
                                   name="actor_enc")(img)
+            elif self.image_encoder == "resnet":
+                from airgym_tpu.models.resnet import ResNet18Encoder
+                feat = ResNet18Encoder(output_dim=self.image_feature_dim,
+                                       name="actor_resnet")(img)
             else:
                 feat = CNNEncoder(feature_dim=self.image_feature_dim,
                                   name="actor_cnn")(img)

@@ -100,7 +100,8 @@ def render_depth(cfg: CameraCfg, root_states: jnp.ndarray,
     R = dirs_cam.shape[0]
     # world-frame ray dirs: R_body @ dir_cam — batched small matmul
     m = rot.quat_to_matrix(q)                                   # [N, 3, 3]
-    dirs_w = jnp.einsum("nij,rj->nri", m, dirs_cam)             # [N, R, 3]
+    dirs_w = jnp.einsum("nij,rj->nri", m, dirs_cam,
+                        precision=jax.lax.Precision.HIGHEST)  # [N, R, 3]
     norm = jnp.linalg.norm(dirs_w, axis=-1)                     # for t scale
     dirs_u = dirs_w / norm[..., None]
     origin = pos + rot.quat_rotate(q, jnp.asarray(cfg.mount_pos,
@@ -158,5 +159,15 @@ def postprocess(cfg: CameraCfg, depth: jnp.ndarray, key) -> jnp.ndarray:
     return out[0][:, None]                         # [N, 1, W, H]
 
 
+def render_depth_auto(cfg: CameraCfg, root_states, scene) -> jnp.ndarray:
+    """Fused Pallas ray cast on TPU (9x faster, see
+    render/pallas_raycast.py), XLA fallback elsewhere (tests run on CPU)."""
+    if jax.default_backend() == "tpu":
+        from airgym_tpu.render.pallas_raycast import render_depth_pallas
+        return render_depth_pallas(cfg, root_states, scene,
+                                   interpret=False)
+    return render_depth(cfg, root_states, scene)
+
+
 def render_and_process(cfg: CameraCfg, root_states, scene, key):
-    return postprocess(cfg, render_depth(cfg, root_states, scene), key)
+    return postprocess(cfg, render_depth_auto(cfg, root_states, scene), key)

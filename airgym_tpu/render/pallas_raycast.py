@@ -1,0 +1,262 @@
+"""Fused Pallas TPU kernel for the depth-camera ray cast.
+
+The XLA version (render/depth.py render_depth) materializes [N, R] f32
+intermediates per primitive in HBM — ~40 sequential passes over ~50 MB at
+512 envs, measured ~60 ms/render. This kernel keeps everything in
+VMEM/registers: ray directions are synthesized in-kernel from pixel
+indices, the primitive table (a few KB per env) is resident, and the
+whole primitive loop runs per ray block with a single [N, R] output
+write. The work is pure VPU arithmetic (~30 flops/ray/primitive), so the
+kernel is compute-bound rather than HBM-bound.
+
+Scene encoding: a packed [N, P, 12] float32 record table
+  rec[0]  type: 0 invalid | 1 cylinder | 2 sphere | 3 box
+  rec[1:4]  center
+  cylinder: rec[4:7] unit axis, rec[7] half_len, rec[8] radius
+  sphere:   rec[8] radius
+  box:      rec[4]=cos(yaw), rec[5]=sin(yaw), rec[9:12] half extents
+The ground plane (z=0) is a static flag folded into the t-init.
+
+Output is perpendicular z-depth [N, W, H] in meters (far rays = BIG),
+identical semantics to render_depth — the test suite asserts the two
+agree to f32 round-off.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from airgym_tpu.physics import scene as sc
+from airgym_tpu.render import depth as dr
+
+BIG = dr.BIG
+LANES = 128
+BLOCK_ROWS = 8                     # 8 x 128 rays per grid cell (swept best)
+
+
+def pack_scene(n: int, scene: "dr.SceneForRender",
+               dtype=jnp.float32) -> jnp.ndarray:
+    """SceneForRender -> packed [N, P_pad, 12] record table."""
+    recs = []
+
+    def zeros(p):
+        return jnp.zeros((n, p, 12), dtype)
+
+    if scene.cylinders is not None:
+        c = scene.cylinders
+        p = c.radius.shape[1]
+        r = zeros(p)
+        r = r.at[..., 0].set(jnp.where(c.valid, 1.0, 0.0))
+        r = r.at[..., 1:4].set(c.center)
+        r = r.at[..., 4:7].set(c.axis)
+        r = r.at[..., 7].set(c.half_len)
+        r = r.at[..., 8].set(c.radius)
+        recs.append(r)
+    if scene.spheres is not None:
+        s = scene.spheres
+        p = s.radius.shape[1]
+        r = zeros(p)
+        r = r.at[..., 0].set(jnp.where(s.valid, 2.0, 0.0))
+        r = r.at[..., 1:4].set(s.center)
+        r = r.at[..., 8].set(s.radius)
+        recs.append(r)
+    if scene.boxes is not None:
+        b = scene.boxes
+        p = b.yaw.shape[1]
+        r = zeros(p)
+        r = r.at[..., 0].set(jnp.where(b.valid, 3.0, 0.0))
+        r = r.at[..., 1:4].set(b.center)
+        r = r.at[..., 4].set(jnp.cos(b.yaw))
+        r = r.at[..., 5].set(jnp.sin(b.yaw))
+        r = r.at[..., 9:12].set(b.half_extents)
+        recs.append(r)
+    if not recs:
+        recs.append(zeros(1))
+    table = jnp.concatenate(recs, axis=1)
+    # static type layout: [cylinders | spheres | boxes | padding]
+    counts = (
+        scene.cylinders.radius.shape[1] if scene.cylinders is not None else 0,
+        scene.spheres.radius.shape[1] if scene.spheres is not None else 0,
+        scene.boxes.yaw.shape[1] if scene.boxes is not None else 0,
+    )
+    # pad P to a multiple of 8 for clean VMEM tiling
+    p = table.shape[1]
+    p_pad = -(-p // 8) * 8
+    if p_pad != p:
+        table = jnp.pad(table, ((0, 0), (0, p_pad - p), (0, 0)))
+    return table, counts
+
+
+def _kernel(origin_ref, rot_ref, prims_ref, out_ref, *, W, H, tan_h, tan_v,
+            ground, counts):
+    t_idx = pl.program_id(1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, LANES), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, LANES), 1)
+    idx = (t_idx * BLOCK_ROWS + rows) * LANES + lanes       # flat ray id
+    u = (idx // H).astype(jnp.float32)
+    v = (idx % H).astype(jnp.float32)
+    in_range = idx < W * H
+
+    y = tan_h * (1.0 - 2.0 * (u + 0.5) / W)
+    z = tan_v * (1.0 - 2.0 * (v + 0.5) / H)
+
+    m = rot_ref[0, 0, :]                                     # 9 floats + pad
+    dx = m[0] + m[1] * y + m[2] * z
+    dy = m[3] + m[4] * y + m[5] * z
+    dz = m[6] + m[7] * y + m[8] * z
+    nsq = dx * dx + dy * dy + dz * dz
+    inv_norm = jax.lax.rsqrt(nsq)
+    # one Newton step: ~1e-7 relative error at rsqrt speed
+    inv_norm = inv_norm * (1.5 - 0.5 * nsq * inv_norm * inv_norm)
+    ux, uy, uz = dx * inv_norm, dy * inv_norm, dz * inv_norm
+
+    ox = origin_ref[0, 0, 0]
+    oy = origin_ref[0, 0, 1]
+    oz = origin_ref[0, 0, 2]
+
+    t_eu = jnp.full((BLOCK_ROWS, LANES), BIG, jnp.float32)
+    if ground:
+        uz_safe = jnp.where(jnp.abs(uz) < 1e-9, 1e-9, uz)
+        tg = (0.0 - oz) / uz_safe
+        t_eu = jnp.where(tg > 1e-6, jnp.minimum(t_eu, tg), t_eu)
+
+    def body(p, kind, t_eu):
+        # kind is STATIC (pack_scene orders records cylinders|spheres|boxes)
+        # so only one intersection routine is emitted per record.
+        valid = prims_ref[0, p, 0]
+        cx = prims_ref[0, p, 1]
+        cy = prims_ref[0, p, 2]
+        cz = prims_ref[0, p, 3]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+
+        if kind == 1:    # cylinder
+            ax = prims_ref[0, p, 4]
+            ay = prims_ref[0, p, 5]
+            az = prims_ref[0, p, 6]
+            hl = prims_ref[0, p, 7]
+            rad = prims_ref[0, p, 8]
+            v_par = ux * ax + uy * ay + uz * az
+            o_par = ocx * ax + ocy * ay + ocz * az
+            vpx, vpy, vpz = ux - v_par * ax, uy - v_par * ay, uz - v_par * az
+            opx = ocx - o_par * ax
+            opy = ocy - o_par * ay
+            opz = ocz - o_par * az
+            a = vpx * vpx + vpy * vpy + vpz * vpz
+            b = opx * vpx + opy * vpy + opz * vpz
+            c = opx * opx + opy * opy + opz * opz - rad * rad
+            disc = b * b - a * c
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t_p = (-b - sq) / jnp.where(a < 1e-9, 1e-9, a)
+            h = o_par + t_p * v_par
+            hit = (disc > 0) & (t_p > 1e-6) & (jnp.abs(h) <= hl)
+        elif kind == 2:  # sphere
+            rad = prims_ref[0, p, 8]
+            b_s = ocx * ux + ocy * uy + ocz * uz
+            c_s = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+            disc_s = b_s * b_s - c_s
+            t_p = -b_s - jnp.sqrt(jnp.maximum(disc_s, 0.0))
+            hit = (disc_s > 0) & (t_p > 1e-6)
+        else:            # box (yaw-rotated slab test)
+            cyaw = prims_ref[0, p, 4]
+            syaw = prims_ref[0, p, 5]
+            hex_ = prims_ref[0, p, 9]
+            hey = prims_ref[0, p, 10]
+            hez = prims_ref[0, p, 11]
+            lox = cyaw * ocx + syaw * ocy
+            loy = -syaw * ocx + cyaw * ocy
+            lvx = cyaw * ux + syaw * uy
+            lvy = -syaw * ux + cyaw * uy
+
+            def slab(o, d, he):
+                d = jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+                t1 = (-he - o) / d
+                t2 = (he - o) / d
+                return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+            n1, x1 = slab(lox, lvx, hex_)
+            n2, x2 = slab(loy, lvy, hey)
+            n3, x3 = slab(ocz, uz, hez)
+            tmin = jnp.maximum(jnp.maximum(n1, n2), n3)
+            tmax = jnp.minimum(jnp.minimum(x1, x2), x3)
+            t_p = jnp.where(tmin > 1e-6, tmin, tmax)
+            hit = (tmax >= tmin) & (tmax > 1e-6)
+
+        return jnp.minimum(t_eu, jnp.where(hit & (valid > 0.0), t_p, BIG))
+
+    # static unroll: all primitive loads become static VMEM scalar reads
+    # (a traced fori_loop index forces slow per-element dynamic gathers)
+    n_cyl, n_sph, n_box = counts
+    p = 0
+    for _ in range(n_cyl):
+        t_eu = body(p, 1, t_eu)
+        p += 1
+    for _ in range(n_sph):
+        t_eu = body(p, 2, t_eu)
+        p += 1
+    for _ in range(n_box):
+        t_eu = body(p, 3, t_eu)
+        p += 1
+    # perpendicular z-depth = t_euclid * inv_norm (camera dir has x == 1)
+    out_ref[0, :, :] = jnp.where(in_range, t_eu * inv_norm, BIG)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "ground", "interpret",
+                                             "counts"))
+def _raycast(cfg: dr.CameraCfg, origins, rots, prims, ground: bool,
+             interpret: bool, counts: tuple):
+    n = origins.shape[0]
+    W, H = cfg.width, cfg.height
+    rays = W * H
+    rays_pad = -(-rays // (BLOCK_ROWS * LANES)) * (BLOCK_ROWS * LANES)
+    n_tiles = rays_pad // (BLOCK_ROWS * LANES)
+    tan_h = float(np.tan(np.radians(cfg.horizontal_fov_deg) / 2.0))
+    tan_v = tan_h * H / W
+
+    kernel = functools.partial(_kernel, W=W, H=H, tan_h=tan_h, tan_v=tan_v,
+                               ground=ground, counts=counts)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 16), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, prims.shape[1], 12), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_ROWS, LANES),
+                               lambda i, t: (i, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, n_tiles * BLOCK_ROWS, LANES), jnp.float32),
+        interpret=interpret,
+    )(origins, rots, prims)
+    return out.reshape(n, rays_pad)[:, :rays].reshape(n, W, H)
+
+
+def render_depth_pallas(cfg: dr.CameraCfg, root_states: jnp.ndarray,
+                        scene: "dr.SceneForRender",
+                        interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Drop-in replacement for render/depth.render_depth."""
+    from airgym_tpu.math import rotations as rot
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    n = root_states.shape[0]
+    q = root_states[:, 3:7]
+    m = rot.quat_to_matrix(q).reshape(n, 9)
+    rots = jnp.pad(m, ((0, 0), (0, 7))).astype(jnp.float32)[:, None, :]
+    origin = root_states[:, 0:3] + rot.quat_rotate(
+        q, jnp.asarray(cfg.mount_pos, root_states.dtype))
+    origins = jnp.pad(origin, ((0, 0), (0, 5))).astype(
+        jnp.float32)[:, None, :]
+    prims, counts = pack_scene(n, scene)
+    return _raycast(cfg, origins, rots, prims, bool(scene.ground),
+                    bool(interpret), counts)

@@ -68,6 +68,8 @@ def bench_training():
     t_start = time.perf_counter()
     ts, m = step(ts)
     jax.block_until_ready(ts.lr)
+    ts, m = step(ts)
+    jax.block_until_ready(ts.lr)
     compile_s = time.perf_counter() - t_start
 
     t0 = time.perf_counter()

@@ -1,0 +1,67 @@
+"""Pallas ray-cast kernel vs XLA renderer agreement (interpret mode on
+CPU; a small camera keeps interpretation fast)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from airgym_tpu.physics import scene as sc
+from airgym_tpu.render import depth as dr
+from airgym_tpu.render import pallas_raycast as pr
+
+SMALL_CAM = dr.CameraCfg(width=32, height=16)
+
+
+def make_scene(n=2):
+    key = jax.random.PRNGKey(0)
+    kc, ky = jax.random.split(key)
+    t = 6
+    pos = jax.random.uniform(kc, (n, t, 2), minval=1.0, maxval=4.0)
+    cyl = sc.Cylinders(
+        center=jnp.concatenate([pos, jnp.full((n, t, 1), 1.5)], axis=-1),
+        axis=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (n, t, 3)),
+        half_len=jnp.full((n, t), 1.5),
+        radius=jnp.full((n, t), 0.3),
+        valid=jnp.ones((n, t), bool).at[:, -1].set(False))
+    sph = sc.Spheres(center=jnp.array([[[3.0, 0.0, 1.0]]] * n),
+                     radius=jnp.full((n, 1), 0.4),
+                     valid=jnp.ones((n, 1), bool))
+    box = sc.Boxes(center=jnp.array([[[2.0, -1.0, 0.5]]] * n),
+                   yaw=jnp.full((n, 1), 0.3),
+                   half_extents=jnp.full((n, 1, 3), 0.5),
+                   valid=jnp.ones((n, 1), bool))
+    return dr.SceneForRender(cylinders=cyl, spheres=sph, boxes=box,
+                             ground=True)
+
+
+def roots(n=2):
+    r = jnp.zeros((n, 13)).at[:, 6].set(1.0).at[:, 2].set(1.0)
+    return r.at[1, 3:7].set(
+        jnp.array([0.0, 0.0, np.sin(0.2), np.cos(0.2)]))
+
+
+def test_pallas_matches_xla_renderer():
+    scene = make_scene()
+    root = roots()
+    a = np.array(dr.render_depth(SMALL_CAM, root, scene))
+    b = np.array(pr.render_depth_pallas(SMALL_CAM, root, scene,
+                                        interpret=True))
+    assert b.shape == a.shape == (2, 32, 16)
+    ac, bc = np.minimum(a, 10.0), np.minimum(b, 10.0)
+    # identical geometry: all but (possibly) silhouette-edge pixels agree
+    close = np.abs(ac - bc) < 1e-2
+    assert close.mean() > 0.995, close.mean()
+    both_hit = (a < 1e8) & (b < 1e8) & close
+    np.testing.assert_allclose(a[both_hit], b[both_hit], atol=1e-2)
+
+
+def test_pack_scene_layout():
+    scene = make_scene()
+    table, counts = pr.pack_scene(2, scene)
+    assert counts == (6, 1, 1)
+    assert table.shape[1] % 8 == 0
+    # cylinder records first, with type flag 1 where valid
+    np.testing.assert_allclose(np.array(table[:, 0, 0]), 1.0)
+    np.testing.assert_allclose(np.array(table[:, 5, 0]), 0.0)  # invalid
+    np.testing.assert_allclose(np.array(table[:, 6, 0]), 2.0)  # sphere
+    np.testing.assert_allclose(np.array(table[:, 7, 0]), 3.0)  # box
