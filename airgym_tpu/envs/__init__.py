@@ -65,3 +65,4 @@ _optional("avoid", "avoid", "Avoid", "AvoidCfg")
 _optional("planning", "planning", "Planning", "PlanningCfg")
 _optional("maplanning", "maplanning", "MAPlanning", "MAPlanningCfg")
 _optional("depthgen", "depthgen", "DepthGen", "DepthGenCfg")
+_optional("customized", "customized", "Customized", "CustomizedCfg")

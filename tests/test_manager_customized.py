@@ -1,0 +1,72 @@
+"""Tests for the AssetManager facade, Customized base task, and trainer
+helpers."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import airgym_tpu.envs as envs
+from airgym_tpu.assets.manager import AssetConfig, AssetManager
+from airgym_tpu.rl import tr_helpers
+
+
+def test_asset_config_from_dicts_and_counts():
+    cfg = AssetConfig.from_dicts(
+        include_robot={"X152b": {"num_assets": 1}},
+        include_single_asset={"balls/ball": {"num_assets": 2},
+                              "cubes/1x1": {"num_assets": 1}},
+        include_group_asset={"thin": {"num_assets": 5}},
+        include_boundary={"grounds/ground": {"num_assets": 1}})
+    m = AssetManager(cfg, num_envs=4)
+    assert m.get_robot_count() == 1
+    assert m.get_env_boundary_count() == 1
+    assert m.get_env_asset_count() == 2 + 1 + 5 + 1
+    assert m.get_env_actor_count() == 10
+    assert m.get_robot_num_bodies() == 5
+
+
+def test_manager_sample_scene():
+    cfg = AssetConfig.from_dicts(
+        include_single_asset={"balls/ball": {"num_assets": 1}},
+        include_group_asset={"thin": {"num_assets": 3}})
+    m = AssetManager(cfg, num_envs=4)
+    scene, states = m.sample_scene(jax.random.PRNGKey(0))
+    assert scene.spheres.center.shape == (4, 1, 3)
+    assert scene.cylinders.center.shape == (4, 3, 3)
+    assert states.shape == (4, 4, 13)
+    np.testing.assert_allclose(np.array(states[..., 6]), 1.0)  # unit quats
+
+
+def test_customized_task_contract():
+    task = envs.make_task("customized", ctl_mode="rate", num_envs=2,
+                          obs_noise=False)
+    s = task.initial_state(jax.random.PRNGKey(0))
+    step = jax.jit(task.step)
+    for _ in range(4):
+        s, out = step(s, jnp.zeros((2, 4)))
+    assert out.obs["observation"].shape == (2, 18)
+    assert out.obs["image"].shape == (2, 1, 212, 120)
+    assert out.priv_obs.shape[0] == 2
+    np.testing.assert_allclose(np.array(out.reward), 0.0)  # zero-reward base
+
+
+def test_rewards_shaper():
+    sh = tr_helpers.DefaultRewardsShaper(scale_value=0.1, shift_value=1.0,
+                                         min_val=0.0, max_val=2.0)
+    out = sh(jnp.array([-20.0, 0.0, 5.0, 100.0]))
+    np.testing.assert_allclose(np.array(out), [0.0, 1.0, 1.5, 2.0])
+
+
+def test_average_meter():
+    am = tr_helpers.AverageMeter(max_size=10)
+    am.update(np.full(5, 2.0))
+    assert am.get_mean() == 2.0
+    am.update(np.full(5, 4.0))
+    assert am.get_mean() == 3.0
+    # window caps at 10: new data at least half the weight
+    am.update(np.full(10, 10.0))
+    assert am.get_mean() == 10.0
+
+
+def test_unsqueeze_obs():
+    out = tr_helpers.unsqueeze_obs({"a": jnp.zeros((3,))})
+    assert out["a"].shape == (1, 3)
