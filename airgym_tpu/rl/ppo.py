@@ -100,20 +100,6 @@ class Rollout(NamedTuple):
     timeouts: jnp.ndarray
 
 
-def _tree_obs_update(rms, obs):
-    if isinstance(obs, dict):
-        return {k: rms[k].update(obs[k]) for k in rms}
-    return rms.update(obs)
-
-
-def _tree_obs_norm(rms, obs):
-    if rms is None:
-        return obs
-    if isinstance(obs, dict):
-        return {k: rms[k].normalize(obs[k]) for k in obs}
-    return rms.normalize(obs)
-
-
 class PPO:
     """Builder: binds a functional task + model into jitted train/play fns."""
 
