@@ -256,6 +256,9 @@ class TaskWrapper:
         self.task = task
         self.cfg = task.cfg
         self.num_envs = task.cfg.num_envs
+        # actor rows: num_envs, or num_envs * num_robots for multi-agent
+        # tasks that flatten the robot axis (reference vecenv contract)
+        self.num_rows = getattr(task, "flat_n", task.cfg.num_envs)
         self.num_actions = task.cfg.num_actions
         self.num_obs = task.num_obs
         self.state = task.initial_state(jax.random.PRNGKey(seed))
@@ -270,6 +273,6 @@ class TaskWrapper:
 
     def reset(self):
         self.state = self.task.initial_state(self.state.core.rng)
-        zero = jnp.zeros((self.num_envs, self.num_actions))
+        zero = jnp.zeros((self.num_rows, self.num_actions))
         obs, priv, _, _, _ = self.step(zero)
         return obs, priv

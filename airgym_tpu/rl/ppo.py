@@ -441,7 +441,13 @@ class PPO:
             metrics[f"Episode/{k}"] = jnp.mean(v)
         return ts, metrics
 
-    def make_train_epoch(self, donate: bool = True):
+    def make_train_epoch(self, donate: Optional[bool] = None):
+        """Jitted train epoch. Buffer donation halves peak memory for the
+        big env-state arrays but triggers a backend INVALID_ARGUMENT on
+        image-observation graphs (observed on the axon TPU runtime), so it
+        defaults off for dict-obs tasks."""
+        if donate is None:
+            donate = not getattr(self.task, "obs_is_dict", False)
         return jax.jit(self.train_epoch,
                        donate_argnums=(0,) if donate else ())
 
