@@ -51,3 +51,17 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 def is_main_process() -> bool:
     """Rank-0 guard (reference a2c_base.py:121-123)."""
     return jax.process_index() == 0
+
+
+def maybe_init_distributed() -> bool:
+    """Multi-host bring-up (replaces the reference's
+    dist.init_process_group('nccl') keyed on LOCAL_RANK/RANK/WORLD_SIZE —
+    a2c_base.py:109-117). jax.distributed reads
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID (or
+    cluster auto-detection); call once before building the mesh."""
+    import os
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False

@@ -115,6 +115,7 @@ class Runner:
     # -- train -------------------------------------------------------------
 
     def run_train(self, args: Dict[str, Any]):
+        pmesh.maybe_init_distributed()
         task, trainer, seed = self._build(args)
         cfg = trainer.cfg
         name = self.params.get("config", {}).get("name", task.task_name)

@@ -108,3 +108,31 @@ def test_mlp_to_cnn_partial_transfer(tmp_path):
         np.asarray(params["params"]["actor_mlp"]["Dense_1"]["kernel"]),
         np.asarray(ts_mlp.params["params"]["actor_mlp"]["Dense_1"]
                    ["kernel"]), atol=1e-6)
+
+
+def test_pth_roundtrip_dict_obs(tmp_path):
+    """CNN model + dict obs running stats export/import (the
+    running_mean_std.running_mean_std.{image,observation} key family)."""
+    task = envs.make_task("planning", ctl_mode="rate", num_envs=2,
+                          obs_noise=False)
+    tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(horizon=2, minibatch_size=4),
+                     network_kw={"image_encoder": "cnn",
+                                 "image_feature_dim": 30})
+    ts = tr.init(jax.random.PRNGKey(5))
+    path = str(tmp_path / "cnn.pth")
+    ckpt.export_pth(path, ts)
+
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)["model"]
+    assert "actor_cnn.features.0.weight" in sd
+    assert "running_mean_std.running_mean_std.image.running_mean" in sd
+    assert sd["running_mean_std.running_mean_std.observation."
+              "running_mean"].shape == (46,)
+
+    params2, obs_rms2, value_rms2, _ = ckpt.import_pth(
+        path, ts.params, ts.obs_rms, ts.value_rms)
+    for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ts.obs_rms["image"].mean),
+                               np.asarray(obs_rms2["image"].mean),
+                               atol=1e-6)
