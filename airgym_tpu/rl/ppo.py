@@ -36,6 +36,7 @@ import numpy as np
 import optax
 
 from airgym_tpu.models import actor_critic as ac
+from airgym_tpu.rl import moving_stats as mstats
 from airgym_tpu.rl.running_stats import RunningMeanStd
 
 
@@ -62,6 +63,10 @@ class PPOConfig:
     normalize_input: bool = True
     normalize_value: bool = True
     normalize_advantage: bool = True
+    # moving-stats advantage normalization (reference a2c_base.py:277-279,
+    # GeneralizedMovingStats); overrides per-batch normalization when on
+    normalize_rms_advantage: bool = False
+    rms_advantage_decay: float = 0.995
     value_bootstrap: bool = True
     reward_shaper_scale: float = 0.1
     max_epochs: int = 200
@@ -75,6 +80,7 @@ class TrainState(NamedTuple):
     opt_state: Any
     obs_rms: Any                    # RunningMeanStd pytree (or dict) / None
     value_rms: Optional[RunningMeanStd]
+    adv_ms: Any                     # MovingStats or None (rms-advantage)
     env_state: Any
     obs: Any                        # last obs (raw)
     lr: jnp.ndarray                 # scalar, adapted by KL
@@ -164,6 +170,8 @@ class PPO:
             opt_state=self.optimizer.init(params),
             obs_rms=obs_rms,
             value_rms=value_rms,
+            adv_ms=(mstats.MovingStats.create(())
+                    if self.cfg.normalize_rms_advantage else None),
             env_state=env_state,
             obs=obs,
             lr=jnp.asarray(self.cfg.learning_rate, jnp.float32),
@@ -403,7 +411,12 @@ class PPO:
         else:
             values_m, returns_m = values, returns
 
-        if cfg.normalize_advantage:
+        if cfg.normalize_rms_advantage:
+            adv_ms = mstats.update_mean_std(ts.adv_ms, adv,
+                                            decay=cfg.rms_advantage_decay)
+            ts = ts._replace(adv_ms=adv_ms)
+            adv = mstats.normalize(adv_ms, adv)
+        elif cfg.normalize_advantage:
             adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
 
         # flatten [H, N, ...] env-major -> [N*H, ...] so contiguous

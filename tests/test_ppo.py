@@ -93,3 +93,13 @@ def test_hovering_reward_improves():
             first = float(m["reward_raw_per_step"])
     last = float(m["reward_raw_per_step"])
     assert last > first, (first, last)
+
+
+def test_rms_advantage_option():
+    tr = small_trainer(normalize_rms_advantage=True)
+    ts = tr.init(jax.random.PRNGKey(9))
+    step = tr.make_train_epoch(donate=False)
+    for _ in range(2):
+        ts, m = step(ts)
+    assert np.isfinite(float(m["loss"]))
+    assert float(ts.adv_ms.initialized) == 1.0
