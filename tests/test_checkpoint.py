@@ -136,3 +136,64 @@ def test_pth_roundtrip_dict_obs(tmp_path):
     np.testing.assert_allclose(np.asarray(ts.obs_rms["image"].mean),
                                np.asarray(obs_rms2["image"].mean),
                                atol=1e-6)
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference/lib"),
+                    reason="reference repo not mounted")
+def test_reference_torch_model_loads_our_export(tmp_path):
+    """Ultimate sim-to-real proof: the reference's OWN torch model class
+    loads our exported .pth and produces the same policy outputs."""
+    import sys
+    import types
+    import torch
+
+    # the reference imports torchvision at module load; stub it (absent
+    # in this image, and the CNN path does not use it)
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvm = types.ModuleType("torchvision.models")
+        tvm.resnet18 = lambda *a, **k: None
+        tv.models = tvm
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tvm
+    sys.path.insert(0, "/root/reference")
+    try:
+        from lib.model.a2c_continuous_logstd_model import \
+            ModelA2CContinuousLogStd
+    finally:
+        sys.path.remove("/root/reference")
+
+    task = envs.make_task("planning", ctl_mode="rate", num_envs=2,
+                          obs_noise=False)
+    tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(horizon=2, minibatch_size=4),
+                     network_kw={"image_encoder": "cnn",
+                                 "image_feature_dim": 30})
+    ts = tr.init(jax.random.PRNGKey(7))
+    path = str(tmp_path / "ours.pth")
+    ckpt.export_pth(path, ts)
+
+    params = {"network": {"name": "actor_critic", "separate": False,
+                          "space": {"continuous": {"fixed_sigma": True}},
+                          "mlp": {"units": [64, 128, 64],
+                                  "activation": "elu"},
+                          "cnn": {"output_dim": 30}},
+              "config": {"normalize_value": True, "normalize_input": True,
+                         "value_size": 1}}
+    keys = {"actions_num": 4,
+            "input_shape": {"image": (1, 212, 120), "observation": (16,)},
+            "num_seqs": 2, "value_size": 1}
+    model = ModelA2CContinuousLogStd(params, keys)
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    model.load_state_dict(state["model"])          # must accept all keys
+    model.eval()
+
+    obs_t = {"image": torch.full((2, 1, 212, 120), 0.5),
+             "observation": torch.zeros(2, 16)}
+    with torch.no_grad():
+        out = model({"is_train": False, "prev_actions": None,
+                     "obs": obs_t})
+    obs_j = {"image": jnp.full((2, 1, 212, 120), 0.5),
+             "observation": jnp.zeros((2, 16))}
+    mu_j, _, _ = tr.model.apply(ts.params, obs_j, ts.obs_rms)
+    np.testing.assert_allclose(out["mus"].numpy(), np.array(mu_j),
+                               atol=2e-4)
