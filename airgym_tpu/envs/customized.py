@@ -20,6 +20,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from airgym_tpu import assets
 from airgym_tpu.assets.manager import AssetConfig, AssetManager
@@ -81,7 +82,6 @@ class Customized(base.QuadEnvCore):
         """customized.py:364-378: start at (-L-0.5, 0, FLY_HEIGHT), tiny
         tilt, zero velocities."""
         ka = key
-        import numpy as np
         start = jnp.tile(jnp.array([-LENGTH - 0.5, 0.0, FLY_HEIGHT]),
                          (n, 1))
         ang = jnp.concatenate([
