@@ -148,8 +148,10 @@ def test_reference_torch_model_loads_our_export(tmp_path):
     import torch
 
     # the reference imports torchvision at module load; stub it (absent
-    # in this image, and the CNN path does not use it)
-    if "torchvision" not in sys.modules:
+    # in this image, and the CNN path does not use it) — and clean the
+    # stub back out so other tests see the real import state
+    stubbed = "torchvision" not in sys.modules
+    if stubbed:
         tv = types.ModuleType("torchvision")
         tvm = types.ModuleType("torchvision.models")
         tvm.resnet18 = lambda *a, **k: None
@@ -162,6 +164,9 @@ def test_reference_torch_model_loads_our_export(tmp_path):
             ModelA2CContinuousLogStd
     finally:
         sys.path.remove("/root/reference")
+        if stubbed:
+            sys.modules.pop("torchvision", None)
+            sys.modules.pop("torchvision.models", None)
 
     task = envs.make_task("planning", ctl_mode="rate", num_envs=2,
                           obs_noise=False)
