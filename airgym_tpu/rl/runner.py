@@ -136,48 +136,60 @@ class Runner:
 
         best_reward = -1e9
         start = time.time()
-        last_t = start
         epoch = int(ts.epoch)
+        # Only sync with the device at the logging cadence: per-epoch
+        # host round-trips (scalar fetches, TB writes, best-ckpt saves)
+        # dominate wall-clock over a tunneled TPU link.
+        log_every = max(1, int(args.get("log_every")
+                               or max(1, cfg.max_epochs // 50)))
+        t_last = time.time()
+        frames_since = 0
         while epoch < cfg.max_epochs:
-            t0 = time.time()
             ts, m = step(ts)
+            epoch += 1
+            frames_since += trainer.batch_size
+            if epoch % log_every != 0 and epoch < cfg.max_epochs:
+                continue
+
             jax.block_until_ready(ts.lr)
-            t1 = time.time()
-            epoch = int(ts.epoch)
-            frame = int(ts.frame)
-            mean_rew = float(m["mean_reward"])
+            m_host = jax.device_get(m)
+            now = time.time()
+            frame = epoch * trainer.batch_size
+            mean_rew = float(m_host["mean_reward"])
+            fps = frames_since / max(now - t_last, 1e-9)
+            t_last, frames_since = now, 0
 
             if writer is not None:
-                fps = trainer.batch_size / max(t1 - t0, 1e-9)
                 scalars = {
-                    "losses/a_loss": float(m["a_loss"]),
-                    "losses/c_loss": float(m["c_loss"]),
-                    "losses/bounds_loss": float(m["b_loss"]),
-                    "losses/entropy": float(m["entropy"]),
-                    "info/last_lr": float(m["lr"]),
-                    "info/kl": float(m["kl"]),
+                    "losses/a_loss": float(m_host["a_loss"]),
+                    "losses/c_loss": float(m_host["c_loss"]),
+                    "losses/bounds_loss": float(m_host["b_loss"]),
+                    "losses/entropy": float(m_host["entropy"]),
+                    "info/last_lr": float(m_host["lr"]),
+                    "info/kl": float(m_host["kl"]),
                     "info/epochs": epoch,
                     "performance/step_inference_rl_update_fps": fps,
                     "rewards/frame": mean_rew,
                     "rewards/iter": mean_rew,
-                    "episode_lengths/frame": float(m["mean_ep_length"]),
-                    "diagnostics/clip_frac": float(m["clip_frac"]),
+                    "episode_lengths/frame": float(m_host["mean_ep_length"]),
+                    "diagnostics/clip_frac": float(m_host["clip_frac"]),
                     "diagnostics/explained_variance":
-                        float(m["explained_variance"]),
+                        float(m_host["explained_variance"]),
                 }
-                for k, v in m.items():
+                for k, v in m_host.items():
                     if k.startswith("Episode/"):
                         scalars[k] = float(v)
                 writer.add_scalars(scalars, frame)
                 print(f"fps total: {fps:.0f} epoch: {epoch}/"
                       f"{cfg.max_epochs} frames: {frame} "
-                      f"mean_reward: {mean_rew:.2f} lr: {float(m['lr']):.2e}")
+                      f"mean_reward: {mean_rew:.2f} "
+                      f"lr: {float(m_host['lr']):.2e}", flush=True)
 
             if pmesh.is_main_process():
                 ck_dir = os.path.join(run_dir, "nn")
                 if epoch >= cfg.save_best_after and mean_rew > best_reward:
                     best_reward = mean_rew
-                    self.save(trainer, ts, os.path.join(ck_dir, name))
+                    ckpt.save(os.path.join(ck_dir, name) + ".ckpt", ts)
                 if cfg.save_frequency and epoch % cfg.save_frequency == 0:
                     self.save(trainer, ts, os.path.join(
                         ck_dir, f"last_{name}_ep_{epoch}"))
