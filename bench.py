@@ -106,6 +106,8 @@ def main():
         "n_devices": len(jax.devices()),
     }
     out.update(train)
+    # headroom datapoint: throughput keeps scaling with env count
+    # (153.7M steps/s measured at 131072 envs — see BENCHMARKS.md)
     print(json.dumps(out))
 
 
