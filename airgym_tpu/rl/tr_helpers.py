@@ -82,3 +82,30 @@ class AverageMeter:
 
     def __len__(self):
         return self.current_size
+
+
+class DatasetList:
+    """Concatenation view over several rollout datasets
+    (reference lib/core/datasets.py:50-66 DatasetList): collect dicts of
+    arrays from multiple sources, then iterate contiguous minibatches
+    over the concatenation."""
+
+    def __init__(self):
+        self.datasets = []
+
+    def add(self, dataset: Dict[str, Any]):
+        self.datasets.append(dataset)
+
+    def clear(self):
+        self.datasets = []
+
+    def concat(self) -> Dict[str, Any]:
+        keys = self.datasets[0].keys()
+        return {k: np.concatenate([np.asarray(d[k]) for d in self.datasets])
+                for k in keys}
+
+    def minibatches(self, minibatch_size: int):
+        data = self.concat()
+        n = len(next(iter(data.values())))
+        for i in range(0, n - minibatch_size + 1, minibatch_size):
+            yield {k: v[i:i + minibatch_size] for k, v in data.items()}

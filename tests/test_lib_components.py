@@ -145,3 +145,16 @@ def test_vecenv_glue():
     assert obs.shape == (8, 18)
     obs, rew, reset, extras = env.step(jnp.zeros((8, 4)))
     assert "time_outs" in extras
+
+
+def test_dataset_list():
+    dl = tr_helpers.DatasetList()
+    dl.add({"a": np.arange(4), "b": np.ones(4)})
+    dl.add({"a": np.arange(4, 8), "b": np.zeros(4)})
+    cat = dl.concat()
+    np.testing.assert_array_equal(cat["a"], np.arange(8))
+    mbs = list(dl.minibatches(4))
+    assert len(mbs) == 2
+    np.testing.assert_array_equal(mbs[1]["a"], np.arange(4, 8))
+    dl.clear()
+    assert dl.datasets == []
