@@ -5,8 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from airgym_tpu.rl import losses, moving_stats, replay, schedulers
-from airgym_tpu.utils import helpers, tensor_pid
+from airgym_tpu.rl import losses, moving_stats, replay, schedulers, tr_helpers
+from airgym_tpu.utils import helpers, tensor_pid  # noqa
 
 
 def test_actor_loss_matches_manual():
