@@ -133,3 +133,18 @@ def test_planning_reach_goal():
     s2, out = jax.jit(task.step)(s, jnp.zeros((4, 4)))
     assert float(out.info["reach_goal_reward"][0]) == 200.0
     assert bool(out.reset[0])
+
+
+def test_planning_vae_encoder_trains():
+    """The third encoder family (VAE latent obs) trains end to end."""
+    from airgym_tpu.rl import ppo as ppo_mod
+    task = envs.make_task("planning", ctl_mode="rate", num_envs=4,
+                          obs_noise=False)
+    tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(horizon=4, minibatch_size=8),
+                     network_kw={"image_encoder": "vae",
+                                 "vae_latent_dim": 64})
+    ts = tr.init(jax.random.PRNGKey(0))
+    step = tr.make_train_epoch(donate=False)
+    ts, m = step(ts)
+    assert np.isfinite(float(m["loss"]))
+    assert ts.obs_rms["observation"].mean.shape == (16 + 64,)
