@@ -59,6 +59,26 @@ def bench_env_steps():
     return NUM_ENVS * STEPS_PER_CALL * CALLS / dt
 
 
+def bench_fused():
+    """Fused Pallas rollout (ops/fused_hovering): whole step + T-step loop
+    in one kernel, state resident in VMEM. Single long call, hard sync."""
+    from airgym_tpu.ops import fused_hovering as fh
+    n, steps = 131072, 8000
+    task = envs.make_task("hovering", ctl_mode="rate", num_envs=n,
+                          obs_noise=False)
+    s0 = task.initial_state(jax.random.PRNGKey(0))
+    packed = fh.pack_state(s0.core)
+    act = task.remap_actions(
+        jnp.tile(jnp.array([0.0, 0.0, 0.0, -0.7]), (1, 1)))[0]
+    p, r = fh.rollout_fused(packed, act, jnp.asarray([7], jnp.int32), steps)
+    float(jnp.sum(r))
+    t0 = time.perf_counter()
+    p, r = fh.rollout_fused(packed, act, jnp.asarray([8], jnp.int32), steps)
+    float(jnp.sum(r))
+    dt = time.perf_counter() - t0
+    return round(n * steps / dt / 1e6, 1)
+
+
 def bench_training():
     task = envs.make_task("hovering", ctl_mode="rate", num_envs=TRAIN_ENVS)
     tr = ppo_mod.PPO(task, ppo_mod.PPOConfig())
@@ -97,6 +117,7 @@ def bench_training():
 
 def main():
     sps = bench_env_steps()
+    fused_msps = bench_fused()
     train = bench_training()
     out = {
         "metric": "hovering_env_steps_per_sec_8192envs",
@@ -106,8 +127,7 @@ def main():
         "n_devices": len(jax.devices()),
     }
     out.update(train)
-    # headroom datapoint: throughput keeps scaling with env count
-    # (153.7M steps/s measured at 131072 envs — see BENCHMARKS.md)
+    out["fused_kernel_env_steps_per_sec_131072envs"] = fused_msps * 1e6
     print(json.dumps(out))
 
 

@@ -1,0 +1,90 @@
+"""Fused Pallas hovering rollout vs the standard jitted step (interpret
+mode on CPU): identical trajectories over a no-termination window."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import airgym_tpu.envs as envs
+from airgym_tpu.ops import fused_hovering as fh
+from airgym_tpu.ops import transcendental as tm
+from airgym_tpu.math import rotations as rot
+from airgym_tpu.physics import quadrotor as qd
+
+N = fh.TILE  # one grid cell
+
+
+def test_transcendental_accuracy():
+    x = jnp.linspace(-5, 5, 1001)
+    np.testing.assert_allclose(np.array(tm.atan(x)), np.arctan(x),
+                               atol=2e-5)
+    y = jnp.linspace(2, -2, 1001)
+    np.testing.assert_allclose(np.array(tm.atan2(y, x)),
+                               np.arctan2(y, x), atol=2e-5)
+    z = jnp.linspace(-0.999, 0.999, 501)
+    np.testing.assert_allclose(np.array(tm.acos(z)), np.arccos(z),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.array(tm.asin(z)), np.arcsin(z),
+                               atol=5e-5)
+
+
+def test_quat_from_euler_matches_rotations():
+    e = jnp.array([[0.1, -0.2, 0.5], [0.02, 0.03, -1.2]])
+    qx, qy, qz, qw = fh._quat_from_euler(e[:, 0], e[:, 1], e[:, 2])
+    got = jnp.stack([qx, qy, qz, qw], axis=-1)
+    want = rot.quat_from_euler_xyz(e)
+    # sign-align
+    s = jnp.sign(jnp.sum(got * want, axis=-1, keepdims=True))
+    np.testing.assert_allclose(np.array(got * s), np.array(want),
+                               atol=1e-5)
+
+
+def test_fused_matches_standard_no_reset_window():
+    task = envs.make_task("hovering", ctl_mode="rate", num_envs=N,
+                          obs_noise=False)
+    s0 = task.initial_state(jax.random.PRNGKey(0))
+    s0 = s0._replace(core=s0.core._replace(
+        reset_buf=jnp.zeros(N, bool)))
+
+    hov = qd.hover_command(task.params)
+    act_policy = jnp.tile(jnp.array([0.05, -0.05, 0.02, 2 * hov - 1.0]),
+                          (N, 1))
+    act_remapped = task.remap_actions(act_policy)[0]
+
+    def body(st, _):
+        st, out = task.step(st, act_policy)
+        return st, out.reward
+
+    st_std, rews = jax.lax.scan(body, s0, None, length=20)
+    assert not bool(st_std.core.reset_buf.any())
+    rew_std = jnp.sum(rews, axis=0)
+
+    packed = fh.pack_state(s0.core)
+    out, rew_fused = fh.rollout_fused(
+        packed, act_remapped, jnp.array([3], jnp.int32), 20,
+        interpret=True)
+    root_f = np.array(fh.unpack_root(out))
+    root_s = np.array(st_std.core.root)
+    sign = np.sign(np.sum(root_f[:, 3:7] * root_s[:, 3:7], axis=1,
+                          keepdims=True))
+    root_f[:, 3:7] *= sign
+    np.testing.assert_allclose(root_f, root_s, atol=1e-4)
+    np.testing.assert_allclose(np.array(rew_fused), np.array(rew_std),
+                               atol=1e-3)
+
+
+def test_fused_resets_keep_state_in_distribution():
+    task = envs.make_task("hovering", ctl_mode="rate", num_envs=N,
+                          obs_noise=False)
+    s0 = task.initial_state(jax.random.PRNGKey(1))
+    packed = fh.pack_state(s0.core)
+    # full thrust: envs climb past +2 m and terminate -> resets must fire
+    act = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
+    out, rew = fh.rollout_fused(packed, act, jnp.array([9], jnp.int32),
+                                400, interpret=True)
+    root = np.array(fh.unpack_root(out))
+    assert np.isfinite(root).all()
+    # all envs within the post-reset distribution or alive bounds
+    assert np.abs(root[:, 0:3]).max() < 4.0
+    # quaternions stay unit
+    np.testing.assert_allclose(np.linalg.norm(root[:, 3:7], axis=1), 1.0,
+                               atol=1e-3)
