@@ -1,0 +1,64 @@
+"""Fused policy+env rollout kernel and FusedHoveringPPO (CPU interpret)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import airgym_tpu.envs as envs
+from airgym_tpu.models import actor_critic as ac
+from airgym_tpu.ops import fused_hovering as fh
+from airgym_tpu.ops import fused_rollout as fr
+from airgym_tpu.rl import ppo as ppo_mod
+from airgym_tpu.rl.fused_ppo import FusedHoveringPPO
+
+N = fr.TILE
+
+
+def make(cls=ppo_mod.PPO, horizon=4):
+    task = envs.make_task("hovering", ctl_mode="rate", num_envs=N)
+    return cls(task, ppo_mod.PPOConfig(horizon=horizon,
+                                       minibatch_size=1024))
+
+
+def test_fused_rollout_policy_matches_model():
+    tr = make()
+    ts = tr.init(jax.random.PRNGKey(0))
+    pack = fr.pack_policy(ts.params, ts.obs_rms)
+    packed = fh.pack_state(ts.env_state.core)
+    out, rec = fr.rollout_fused_policy(packed, pack,
+                                       jnp.array([3], jnp.int32), 4,
+                                       interpret=True)
+    assert rec.shape == (4, fr.REC, N)
+    assert bool(jnp.all(jnp.isfinite(rec)))
+    # the stored mu/value/neglogp must equal the flax model evaluated on
+    # the stored (noised) observations
+    obs = rec[1, 0:18].T
+    mu, sigma, value = tr.model.apply(ts.params, obs, ts.obs_rms)
+    np.testing.assert_allclose(np.array(mu), np.array(rec[1, 24:28].T),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.array(value[:, 0]),
+                               np.array(rec[1, 23]), atol=2e-4)
+    act = rec[1, 18:22].T
+    nlp = ac.neglogp(act, mu, sigma, jnp.log(sigma))
+    np.testing.assert_allclose(np.array(nlp), np.array(rec[1, 22]),
+                               atol=1e-3)
+
+
+def test_fused_ppo_epoch_runs_and_is_finite():
+    tr = make(FusedHoveringPPO)
+    # interpret mode on CPU for the kernel
+    import functools
+    orig = fr.rollout_fused_policy
+    fr.rollout_fused_policy = functools.partial(orig, interpret=True)
+    try:
+        ts = tr.init(jax.random.PRNGKey(0))
+        step = tr.make_train_epoch(donate=False)
+        ts, m = step(ts)
+        ts, m = step(ts)
+    finally:
+        fr.rollout_fused_policy = orig
+    for k in ("loss", "kl", "mean_reward", "reward_raw_per_step"):
+        assert np.isfinite(float(m[k])), k
+    assert int(ts.epoch) == 2
+    # env state stayed coherent (unit quats)
+    qn = jnp.linalg.norm(ts.env_state.core.root[:, 3:7], axis=1)
+    np.testing.assert_allclose(np.array(qn), 1.0, atol=1e-3)
