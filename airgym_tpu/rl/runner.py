@@ -108,7 +108,14 @@ class Runner:
 
         task = envs.make_task(task_name, ctl_mode=ctl_mode,
                               num_envs=num_envs)
-        trainer = ppo_mod.PPO(task, ppo_config_from_params(self.params),
+        trainer_cls = ppo_mod.PPO
+        # opt-in fused policy+env rollout kernel (config: use_fused_rollout)
+        if (cfg.get("use_fused_rollout")
+                and task_name == "hovering" and ctl_mode == "rate"
+                and num_envs % 1024 == 0):
+            from airgym_tpu.rl.fused_ppo import FusedHoveringPPO
+            trainer_cls = FusedHoveringPPO
+        trainer = trainer_cls(task, ppo_config_from_params(self.params),
                               network_kw=network_kw_from_params(self.params))
         return task, trainer, seed
 

@@ -72,3 +72,18 @@ def test_cli_parses_reference_flags():
     cfg = sr.update_config(cfg, args)
     assert cfg["params"]["config"]["num_actors"] == 64
     assert cfg["params"]["seed"] == 7
+
+
+def test_fused_rollout_flag_selects_trainer():
+    from airgym_tpu.rl.runner import Runner
+    from airgym_tpu.rl.fused_ppo import FusedHoveringPPO
+    cfg = tiny_cfg()
+    cfg["params"]["config"]["use_fused_rollout"] = True
+    r = Runner().load(cfg)
+    _, trainer, _ = r._build({"task": "hovering", "ctl_mode": "rate",
+                              "num_envs": 1024})
+    assert isinstance(trainer, FusedHoveringPPO)
+    # falls back to the standard trainer when preconditions don't hold
+    _, trainer, _ = r._build({"task": "hovering", "ctl_mode": "rate",
+                              "num_envs": 48})
+    assert not isinstance(trainer, FusedHoveringPPO)
