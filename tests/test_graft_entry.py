@@ -21,3 +21,30 @@ def test_dryrun_multichip_4():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(4)
+
+
+def test_dryrun_multichip_without_env_forcing():
+    """Driver-environment guard: dryrun_multichip must succeed in a process
+    where conftest's JAX_PLATFORMS/XLA_FLAGS forcing is ABSENT (a 1-device
+    default backend).  It must bootstrap its own virtual CPU mesh."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("JAX_PLATFORM_NAME", None)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    # Make absolutely sure the child cannot contend for real TPU hardware
+    # from inside the test suite (the nested dryrun child forces cpu anyway).
+    env["JAX_PLATFORMS"] = ""
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as ge; ge.dryrun_multichip(4)"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK on 4 devices" in proc.stdout
