@@ -13,8 +13,14 @@ import jax.numpy as jnp
 
 
 def smooth_clamp(x, mi, mx):
-    """Sigmoid-smoothed clamp (common_losses.py:22-23)."""
-    return 1.0 / (1.0 + jnp.exp((mi - x) * 4.0 / (mx - mi))) * (mx - mi) + mi
+    """Sigmoid-smoothed clamp (common_losses.py:22-23).
+
+    Exact reference formula: 1/(1+exp((-(x-mi)/(mx-mi)+0.5)*4))*(mx-mi)+mi
+    — the sigmoid is centered at the interval midpoint (the +0.5 term),
+    so smooth_clamp((mi+mx)/2) == (mi+mx)/2.
+    """
+    t = (-(x - mi) / (mx - mi) + 0.5) * 4.0
+    return 1.0 / (1.0 + jnp.exp(t)) * (mx - mi) + mi
 
 
 def actor_loss(old_neglogp, neglogp, advantage, is_ppo: bool, e_clip):

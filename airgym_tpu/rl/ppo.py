@@ -36,6 +36,7 @@ import numpy as np
 import optax
 
 from airgym_tpu.models import actor_critic as ac
+from airgym_tpu.rl import losses as losses_mod
 from airgym_tpu.rl import moving_stats as mstats
 from airgym_tpu.rl.running_stats import RunningMeanStd
 
@@ -54,6 +55,7 @@ class PPOConfig:
     min_lr: float = 1e-6
     max_lr: float = 1e-2
     e_clip: float = 0.2
+    use_smooth_clamp: bool = False  # smoothed_actor_loss (a2c_base.py:270-274)
     clip_value: bool = False
     critic_coef: float = 2.0
     entropy_coef: float = 0.0
@@ -278,10 +280,16 @@ class PPO:
         logstd = jnp.log(sigma)
         nlp = ac.neglogp(mb["actions"], mu, sigma, logstd)
 
-        # clipped surrogate (common_losses.py:39-48)
+        # clipped surrogate (common_losses.py:39-48); use_smooth_clamp swaps
+        # in the sigmoid-smoothed clamp variant (a2c_base.py:270-274)
         ratio = jnp.exp(mb["neglogp"] - nlp)
         surr1 = mb["adv"] * ratio
-        surr2 = mb["adv"] * jnp.clip(ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip)
+        if cfg.use_smooth_clamp:
+            clamped = losses_mod.smooth_clamp(
+                ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip)
+        else:
+            clamped = jnp.clip(ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip)
+        surr2 = mb["adv"] * clamped
         a_loss = jnp.maximum(-surr1, -surr2)
 
         # critic (common_losses.py:6-20); clip_value False in all YAMLs

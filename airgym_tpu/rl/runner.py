@@ -62,6 +62,7 @@ def ppo_config_from_params(params: Dict[str, Any]) -> ppo_mod.PPOConfig:
         lr_schedule=g("lr_schedule", "adaptive"),
         kl_threshold=float(g("kl_threshold", 0.008)),
         e_clip=float(g("e_clip", 0.2)),
+        use_smooth_clamp=bool(g("use_smooth_clamp", False)),
         clip_value=bool(g("clip_value", False)),
         critic_coef=float(g("critic_coef", 2.0)),
         entropy_coef=float(g("entropy_coef", 0.0)),

@@ -27,6 +27,20 @@ def test_smooth_clamp_bounds():
     assert float(y.min()) >= 0.8 - 1e-5 and float(y.max()) <= 1.2 + 1e-5
 
 
+def test_smooth_clamp_matches_reference_formula():
+    """Numerical equivalence with the reference expression
+    (common_losses.py:22-23): 1/(1+exp((-(x-mi)/(mx-mi)+0.5)*4))*(mx-mi)+mi.
+    In particular the sigmoid must be centered at the interval MIDPOINT."""
+    mi, mx = 0.8, 1.2
+    x = np.linspace(-3, 3, 101)
+    ref = 1.0 / (1.0 + np.exp((-(x - mi) / (mx - mi) + 0.5) * 4.0)) \
+        * (mx - mi) + mi
+    out = np.asarray(losses.smooth_clamp(jnp.asarray(x), mi, mx))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7)
+    mid = float(losses.smooth_clamp(jnp.asarray((mi + mx) / 2.0), mi, mx))
+    assert mid == pytest.approx((mi + mx) / 2.0, abs=1e-6)
+
+
 def test_critic_loss_clip_branch():
     vp = jnp.array([1.0])
     v = jnp.array([2.0])

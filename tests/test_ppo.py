@@ -34,6 +34,17 @@ def test_train_epoch_runs_and_is_finite():
     assert int(ts.frame) == 16 * 8
 
 
+def test_train_epoch_with_smooth_clamp():
+    """use_smooth_clamp swaps the surrogate's clamp for the sigmoid-smoothed
+    one (reference a2c_base.py:270-274); must train and stay finite."""
+    tr = small_trainer(use_smooth_clamp=True)
+    ts = tr.init(jax.random.PRNGKey(0))
+    step = tr.make_train_epoch(donate=False)
+    ts, m = step(ts)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
+
+
 def test_gae_matches_numpy_reference():
     tr = small_trainer()
     H, N = 5, 3
