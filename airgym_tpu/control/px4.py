@@ -307,24 +307,20 @@ def num_actions(mode: str) -> int:
     return 5 if mode == "atti" else 4
 
 
-def action_limits(mode: str, task: str = "hovering"):
-    """(lower, upper) action limits per mode, matching the per-task tables
-    (reference hovering.py:93-121; customized.py:109-114 narrows rate to +-1;
-    tracking.py widens pos/rate)."""
+def action_limits(mode: str):
+    """Default (lower, upper) action limits per mode (reference
+    hovering.py:93-121). Task-specific deltas live ON THE TASK, as in the
+    reference — see QuadEnvCore.action_limit_overrides (envs/base.py):
+    the vision-task lineage narrows rate to +-1 (customized.py:109-114),
+    tracking widens pos to +-6 (tracking.py:95-118)."""
     import numpy as np
     if mode == "pos":
-        hi = [3.0, 3.0, 3.0, 6.0]
-        if task == "tracking":
-            hi = [6.0, 6.0, 6.0, 6.0]
-        return np.array([-h for h in hi]), np.array(hi)
+        return np.array([-3.0, -3, -3, -6]), np.array([3.0, 3, 3, 6])
     if mode == "vel":
         return np.array([-6.0] * 4), np.array([6.0] * 4)
     if mode == "atti":
         return np.array([-1, -1, -1, -1, 0.0]), np.array([1, 1, 1, 1, 1.0])
     if mode == "rate":
-        if task in ("balloon", "avoid", "planning", "maplanning",
-                    "customized", "depthgen"):
-            return np.array([-1.0, -1, -1, 0]), np.array([1.0, 1, 1, 1])
         return np.array([-6.0, -6, -6, 0]), np.array([6.0, 6, 6, 1])
     if mode == "prop":
         return np.array([0.0] * 4), np.array([1.0] * 4)

@@ -81,6 +81,7 @@ def local_state_obs(root: jnp.ndarray, target_pos, actions) -> jnp.ndarray:
 
 class Avoid(base.QuadEnvCore):
     task_name = "avoid"
+    action_limit_overrides = {"rate": base.NARROW_RATE_LIMITS}
     num_obs = 16
     obs_is_dict = True
 

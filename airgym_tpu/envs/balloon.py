@@ -38,6 +38,7 @@ class BalloonState(NamedTuple):
 
 class Balloon(base.QuadEnvCore):
     task_name = "balloon"
+    action_limit_overrides = {"rate": base.NARROW_RATE_LIMITS}
     num_obs = 18
 
     def initial_state(self, key) -> BalloonState:

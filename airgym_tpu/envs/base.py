@@ -83,6 +83,11 @@ class BaseEnvCfg:
         return px4.num_actions(self.ctl_mode)
 
 
+# Narrowed rate limits of the vision-task lineage (reference
+# customized.py:109-114: body rates +-1 rad/s instead of hovering's +-6).
+NARROW_RATE_LIMITS = ((-1.0, -1.0, -1.0, 0.0), (1.0, 1.0, 1.0, 1.0))
+
+
 class QuadEnvCore:
     """Shared machinery: action remap, controller + physics stepping,
     state-vector observations with sensor noise, common reset randomization.
@@ -92,15 +97,29 @@ class QuadEnvCore:
 
     task_name = "base"
 
+    # Per-task action-limit deltas, keyed by ctl_mode -> (lower, upper).
+    # Kept on the task like the reference (hovering.py:93-121 builds the
+    # tables in the task; customized.py:109-114 narrows rate; tracking.py
+    # widens pos) so the controller module stays task-agnostic.
+    action_limit_overrides: Dict[str, Tuple[Any, Any]] = {}
+
     def __init__(self, cfg: BaseEnvCfg,
                  params: Optional[qd.QuadrotorParams] = None,
                  gains: Optional[px4.CascadeGains] = None):
         self.cfg = cfg
         self.params = params or qd.x152b_params(dt=cfg.dt)
         self.gains = gains or px4.CascadeGains()
-        lo, hi = px4.action_limits(cfg.ctl_mode, self.task_name)
+        lo, hi = self.action_limits(cfg.ctl_mode)
         self._act_lo = jnp.asarray(lo, dtype=cfg.dtype)
         self._act_hi = jnp.asarray(hi, dtype=cfg.dtype)
+
+    def action_limits(self, mode: str):
+        """(lower, upper) for this task: the per-mode default from the
+        controller library, unless the task overrides that mode."""
+        ov = self.action_limit_overrides.get(mode)
+        if ov is not None:
+            return np.asarray(ov[0], np.float64), np.asarray(ov[1], np.float64)
+        return px4.action_limits(mode)
 
     # -- actions ----------------------------------------------------------
 

@@ -62,6 +62,7 @@ class CustomizedState(NamedTuple):
 
 class Customized(base.QuadEnvCore):
     task_name = "customized"
+    action_limit_overrides = {"rate": base.NARROW_RATE_LIMITS}
     num_obs = 18
     obs_is_dict = True
 

@@ -75,6 +75,7 @@ class DepthGenState(NamedTuple):
 
 class DepthGen(base.QuadEnvCore):
     task_name = "depthgen"
+    action_limit_overrides = {"rate": base.NARROW_RATE_LIMITS}
     num_obs = 18
 
     def __init__(self, cfg: DepthGenCfg = DepthGenCfg(), **kw):

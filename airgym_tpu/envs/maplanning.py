@@ -70,6 +70,7 @@ class MAPlanningState(NamedTuple):
 
 class MAPlanning(base.QuadEnvCore):
     task_name = "maplanning"
+    action_limit_overrides = {"rate": base.NARROW_RATE_LIMITS}
     obs_is_dict = True
 
     def __init__(self, cfg: MAPlanningCfg = MAPlanningCfg(), **kw):

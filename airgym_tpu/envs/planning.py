@@ -72,6 +72,7 @@ class PlanningState(NamedTuple):
 
 class Planning(base.QuadEnvCore):
     task_name = "planning"
+    action_limit_overrides = {"rate": base.NARROW_RATE_LIMITS}
     num_obs = 16
     obs_is_dict = True
 

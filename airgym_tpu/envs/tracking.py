@@ -38,6 +38,8 @@ class TrackingState(NamedTuple):
 
 class Tracking(base.QuadEnvCore):
     task_name = "tracking"
+    action_limit_overrides = {
+        "pos": ((-6.0, -6.0, -6.0, -6.0), (6.0, 6.0, 6.0, 6.0))}
     num_obs = 48
 
     def __init__(self, cfg: TrackingCfg = TrackingCfg(), **kw):
