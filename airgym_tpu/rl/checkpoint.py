@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from airgym_tpu.rl.ppo import frame_to_int as ppo_frame_to_int
 from airgym_tpu.rl.running_stats import RunningMeanStd
 
 
@@ -145,7 +146,7 @@ def export_pth(path: str, train_state, last_mean_rewards: float = -1e9,
     state = {
         "model": model,
         "epoch": int(train_state.epoch),
-        "frame": int(train_state.frame),
+        "frame": ppo_frame_to_int(train_state.frame),
         # inference consumers read only 'model'; resume-in-framework uses
         # the native format (optax state does not map onto torch.optim)
         "optimizer": {"state": {}, "param_groups": []},

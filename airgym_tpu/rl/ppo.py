@@ -41,6 +41,30 @@ from airgym_tpu.rl import moving_stats as mstats
 from airgym_tpu.rl.running_stats import RunningMeanStd
 
 
+# --------------------------------------------------------------------------
+# 64-bit-safe frame counter. int32 overflows at 2.1B frames (an afternoon at
+# the demonstrated 8M steps/s) and int64 needs global x64, which would flip
+# default dtypes everywhere. A [lo, hi] uint32 pair keeps the counter inside
+# the jitted pytree with exact 64-bit range.
+
+
+def frame_from_int(n: int) -> jnp.ndarray:
+    return jnp.asarray([n & 0xFFFFFFFF, (n >> 32) & 0xFFFFFFFF], jnp.uint32)
+
+
+def frame_to_int(frame) -> int:
+    arr = np.asarray(frame).reshape(-1)
+    if arr.shape[0] == 1:          # legacy scalar checkpoints
+        return int(arr[0])
+    return int(arr[0]) + (int(arr[1]) << 32)
+
+
+def frame_add(frame: jnp.ndarray, n: int) -> jnp.ndarray:
+    lo = frame[0] + jnp.uint32(n & 0xFFFFFFFF)
+    carry = (lo < frame[0]).astype(jnp.uint32)
+    return jnp.stack([lo, frame[1] + jnp.uint32(n >> 32) + carry])
+
+
 @dataclasses.dataclass(frozen=True)
 class PPOConfig:
     """Hyperparameters; defaults = ppo_hovering.yaml:29-76."""
@@ -178,8 +202,7 @@ class PPO:
             obs=obs,
             lr=jnp.asarray(self.cfg.learning_rate, jnp.float32),
             epoch=jnp.asarray(0, jnp.int32),
-            frame=jnp.asarray(0, jnp.int64 if jax.config.jax_enable_x64
-                              else jnp.int32),
+            frame=frame_from_int(0),
             ep_return=jnp.zeros((n,)),
             ep_length=jnp.zeros((n,)),
             last_ep_return=jnp.zeros((n,)),
@@ -446,7 +469,7 @@ class PPO:
 
         ts, metrics = self.update(ts, dataset)
         ts = ts._replace(epoch=ts.epoch + 1,
-                         frame=ts.frame + self.batch_size)
+                         frame=frame_add(ts.frame, self.batch_size))
         metrics = dict(metrics)
         metrics["lr"] = ts.lr
         metrics["mean_reward"] = jnp.mean(ts.last_ep_return)

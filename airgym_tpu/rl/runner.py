@@ -244,7 +244,7 @@ class Runner:
                 params=jax.tree.map(jnp.asarray, params),
                 obs_rms=obs_rms, value_rms=value_rms,
                 epoch=jnp.asarray(meta["epoch"], jnp.int32),
-                frame=jnp.asarray(meta["frame"], ts.frame.dtype))
+                frame=ppo_mod.frame_from_int(meta["frame"]))
         loaded, _ = ckpt.load(path)
         return jax.tree.map(lambda t, l: jnp.asarray(l), ts, loaded)
 

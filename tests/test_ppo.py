@@ -31,7 +31,21 @@ def test_train_epoch_runs_and_is_finite():
     for k, v in m.items():
         assert np.isfinite(float(v)), k
     assert int(ts.epoch) == 1
-    assert int(ts.frame) == 16 * 8
+    assert ppo_mod.frame_to_int(ts.frame) == 16 * 8
+
+
+def test_frame_counter_is_64bit_safe():
+    """frame is a [lo, hi] uint32 pair: must roll over 2**31 and 2**32
+    exactly (int32 would overflow at 2.1B frames — an afternoon at the
+    demonstrated throughput)."""
+    f = ppo_mod.frame_from_int(2**31 - 100)
+    f = ppo_mod.frame_add(f, 300)
+    assert ppo_mod.frame_to_int(f) == 2**31 + 200
+    f = ppo_mod.frame_from_int(2**32 - 50)
+    f = ppo_mod.frame_add(f, 100)
+    assert ppo_mod.frame_to_int(f) == 2**32 + 50
+    big = 10**13
+    assert ppo_mod.frame_to_int(ppo_mod.frame_from_int(big)) == big
 
 
 def test_train_epoch_with_smooth_clamp():
