@@ -227,11 +227,17 @@ class MAPlanning(base.QuadEnvCore):
         )
         pre_pos = jnp.where(m, 0.0, root[:, 0:3])
 
+        # privileged obs = env-asset root states [E, 1, 13]: the single
+        # shared goal ball (maplanning_config include_single_asset,
+        # num_assets=1; layout pos3 quat4-xyzw linvel3 angvel3)
+        idq = jnp.tile(jnp.asarray([0.0, 0, 0, 1], goal.dtype), (e, 1, 1))
+        ball_roots = jnp.concatenate(
+            [goal[:, None, :], idq, jnp.zeros((e, 1, 6), goal.dtype)],
+            axis=-1)
         obs = {"image": camera, "observation": obs_vec}
         out = base.StepOutput(
             obs=obs,
-            priv_obs=jnp.concatenate(
-                [goal, jnp.zeros((e, 10))], axis=-1)[:, None, :],
+            priv_obs=ball_roots,
             reward=reward,
             reset=reset_robot,          # per-robot done flags (reference)
             timeout=timeout_flat,

@@ -205,13 +205,31 @@ class Planning(base.QuadEnvCore):
         obs = {"image": camera, "observation": obs_vec}
         out = base.StepOutput(
             obs=obs,
-            priv_obs=jnp.concatenate(
-                [goal, jnp.zeros((cfg.num_envs, 10))], axis=-1)[:, None, :],
+            priv_obs=self._asset_root_states(goal, tree_pos, tree_yaw),
             reward=reward, reset=reset, timeout=timeout, info=info)
         return PlanningState(core=core, goal=goal, tree_variant=state.tree_variant,
                              tree_pos=tree_pos, tree_yaw=tree_yaw,
                              camera=camera, esdf=esdf, counter=counter,
                              pre_root_pos=pre_pos), out
+
+    def _asset_root_states(self, goal, tree_pos, tree_yaw):
+        """Privileged obs: env-asset root states [N, 1+T, 13] in the
+        reference's IsaacGym layout (pos3 quat4-xyzw linvel3 angvel3).
+        Row 0 is the goal ball (reference planning.py:42-47 reads
+        env_asset_root_states[:, 0]); rows 1..T are the trees at z=0 with
+        yaw-about-z quats (reference reset_idx :67-74)."""
+        n, t = tree_pos.shape[0], tree_pos.shape[1]
+        dt = goal.dtype
+        idq = jnp.tile(jnp.asarray([0.0, 0, 0, 1], dt), (n, 1, 1))
+        ball = jnp.concatenate(
+            [goal[:, None, :], idq, jnp.zeros((n, 1, 6), dt)], axis=-1)
+        z = jnp.zeros((n, t), dt)
+        pos3 = jnp.concatenate([tree_pos, z[..., None]], axis=-1)
+        half = 0.5 * tree_yaw
+        quat = jnp.stack([z, z, jnp.sin(half), jnp.cos(half)], axis=-1)
+        trees = jnp.concatenate([pos3, quat, jnp.zeros((n, t, 6), dt)],
+                                axis=-1)
+        return jnp.concatenate([ball, trees], axis=1)
 
     def _reward(self, root, actions, pre_actions, pre_root_pos, goal,
                 goal_dir, vel_local, angvel_local, esdf, related_dist):

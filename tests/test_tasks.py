@@ -121,6 +121,16 @@ def test_planning_contract():
     assert float(jnp.abs(out.obs["image"]).max()) > 0.0
     # drone starts at the corridor entrance aimed at the goal
     assert bool(jnp.all(jnp.isfinite(out.reward)))
+    # privileged obs = env-asset root states [N, 1 ball + 40 trees, 13]
+    # (reference customized.py:77-83, planning.py:42-47)
+    assert out.priv_obs.shape == (4, 41, 13)
+    np.testing.assert_allclose(np.asarray(out.priv_obs[:, 0, 0:3]),
+                               np.asarray(s.goal), atol=1e-6)
+    # trees sit at z=0 with unit yaw-about-z quats, zero velocity
+    assert float(jnp.abs(out.priv_obs[:, 1:, 2]).max()) == 0.0
+    qn = jnp.linalg.norm(out.priv_obs[:, 1:, 3:7], axis=-1)
+    np.testing.assert_allclose(np.asarray(qn), 1.0, atol=1e-5)
+    assert float(jnp.abs(out.priv_obs[:, :, 7:]).max()) == 0.0
 
 
 def test_planning_reach_goal():
