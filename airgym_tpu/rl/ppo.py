@@ -94,6 +94,9 @@ class PPOConfig:
     normalize_rms_advantage: bool = False
     rms_advantage_decay: float = 0.995
     value_bootstrap: bool = True
+    # bf16 storage for rollout image observations (see rollout()); halves
+    # the dominant vision-task HBM buffer, input noise floor unaffected
+    compress_image_obs: bool = True
     reward_shaper_scale: float = 0.1
     max_epochs: int = 200
     save_frequency: int = 100
@@ -162,6 +165,23 @@ class PPO:
             return {k: v for k, v in self.task.obs_spec.items()}
         return (self.task.num_obs,)
 
+    # Dict-obs tasks return obs["image"] as the SAME device buffer as
+    # env_state.camera (the task steps cache the last rendered frame).
+    # Carrying both in the TrainState would donate one buffer twice at the
+    # jit call boundary ("Attempt to donate the same buffer twice"), so the
+    # stored TrainState keeps obs WITHOUT the image; train_epoch re-joins
+    # it from env_state.camera inside the graph (pure aliasing, free).
+
+    def _strip_obs(self, obs):
+        if isinstance(obs, dict) and "image" in obs:
+            return {k: v for k, v in obs.items() if k != "image"}
+        return obs
+
+    def _join_obs(self, obs, env_state):
+        if isinstance(obs, dict) and "image" not in obs:
+            return {**obs, "image": env_state.camera}
+        return obs
+
     def init(self, key) -> TrainState:
         k_env, k_model, k_rng = jax.random.split(key, 3)
         env_state = self.task.initial_state(k_env)
@@ -199,7 +219,7 @@ class PPO:
             adv_ms=(mstats.MovingStats.create(())
                     if self.cfg.normalize_rms_advantage else None),
             env_state=env_state,
-            obs=obs,
+            obs=self._strip_obs(obs),
             lr=jnp.asarray(self.cfg.learning_rate, jnp.float32),
             epoch=jnp.asarray(0, jnp.int32),
             frame=frame_from_int(0),
@@ -240,7 +260,13 @@ class PPO:
             ep_ret = ep_ret * (1.0 - done_f)
             ep_len = ep_len * (1.0 - done_f)
 
-            data = Rollout(obs=obs, prenorm=prenorm, actions=action,
+            # store images bfloat16: the CNN consumes bf16 anyway (MXU),
+            # and f32 rollout storage doubled the dominant HBM buffer
+            store_obs = obs
+            if isinstance(obs, dict) and cfg.compress_image_obs:
+                store_obs = {**obs,
+                             "image": obs["image"].astype(jnp.bfloat16)}
+            data = Rollout(obs=store_obs, prenorm=prenorm, actions=action,
                            neglogp=nlp,
                            values=value, mus=mu, sigmas=sigma,
                            rewards=out.reward, dones=out.reset,
@@ -417,6 +443,7 @@ class PPO:
     def train_epoch(self, ts: TrainState):
         """play_steps + prepare_dataset + mini-epoch updates, one jit."""
         cfg = self.cfg
+        ts = ts._replace(obs=self._join_obs(ts.obs, ts.env_state))
         ts, traj, last_value, infos = self.rollout(ts)
         values, adv, returns = self.compute_gae(ts, traj, last_value)
 
@@ -450,10 +477,16 @@ class PPO:
         elif cfg.normalize_advantage:
             adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
 
-        # flatten [H, N, ...] env-major -> [N*H, ...] so contiguous
-        # minibatches align with the sharded env axis
+        # flatten [H, N, ...] time-major -> [H*N, ...]. This is a pure
+        # reshape of the scan-stacked rollout (NO transpose): on vision
+        # tasks the env-major transpose materialized a second copy of the
+        # [H, N, 1, 212, 120] image buffer (~10 GB at 4096 envs) and was
+        # the single biggest HBM peak. The reference's PPODataset also
+        # slices contiguously without shuffling (datasets.py:6-44); only
+        # the grouping differs (time-blocks instead of env-blocks), which
+        # changes no loss semantics — every sample is visited once per
+        # mini-epoch and the mu/sigma write-back indexes the same layout.
         def flat(x):
-            x = jnp.swapaxes(x, 0, 1)
             return x.reshape((self.batch_size,) + x.shape[2:])
 
         dataset = {
@@ -483,17 +516,47 @@ class PPO:
         # per-term Episode/ means (reference RLGPUAlgoObserver)
         for k, v in infos.items():
             metrics[f"Episode/{k}"] = jnp.mean(v)
-        return ts, metrics
+        return ts._replace(obs=self._strip_obs(ts.obs)), metrics
 
     def make_train_epoch(self, donate: Optional[bool] = None):
-        """Jitted train epoch. Buffer donation halves peak memory for the
-        big env-state arrays but triggers a backend INVALID_ARGUMENT on
-        image-observation graphs (observed on the axon TPU runtime), so it
-        defaults off for dict-obs tasks."""
+        """Jitted train epoch with buffer donation (halves peak memory for
+        the big env-state/obs arrays).
+
+        Donation requires each donated input buffer's layout to equal the
+        aliased output's layout. XLA's layout assignment gives
+        conv-consumed image parameters a non-default layout (e.g.
+        ``{2,0,3,1}`` for the [N,1,W,H] camera buffer) while the epoch's
+        output keeps the default — the mismatched aliasing pair then fails
+        at execute time with ``INVALID_ARGUMENT`` on the TPU runtime. Fix:
+        pin the default row-major layout on every >=3D leaf of the
+        TrainState (in AND out), so aliasing is always valid and XLA
+        re-layouts at the conv instead (a fused transpose, ~free, vs. 2x
+        peak memory). Layouts need concrete shardings, so the jit is built
+        lazily at the first call from the actual input placement — this
+        keeps the sharded multi-chip path working unchanged."""
         if donate is None:
-            donate = not getattr(self.task, "obs_is_dict", False)
-        return jax.jit(self.train_epoch,
-                       donate_argnums=(0,) if donate else ())
+            donate = True
+        if not donate:
+            return jax.jit(self.train_epoch)
+
+        from jax.experimental.layout import Format, Layout
+
+        cache: Dict[int, Any] = {}
+
+        def step(ts: TrainState):
+            if 0 not in cache:
+                def fmt(x):
+                    if hasattr(x, "ndim") and x.ndim >= 3:
+                        return Format(Layout(tuple(range(x.ndim))),
+                                      x.sharding)
+                    return Format(None, x.sharding)
+                in_fmts = jax.tree.map(fmt, ts)
+                cache[0] = jax.jit(self.train_epoch, donate_argnums=(0,),
+                                   in_shardings=(in_fmts,),
+                                   out_shardings=(in_fmts, None))
+            return cache[0](ts)
+
+        return step
 
     # ------------------------------------------------------------------ play
 

@@ -29,8 +29,10 @@ class RunningMeanStd(NamedTuple):
     def update(self, batch: jnp.ndarray) -> "RunningMeanStd":
         """Merge batch statistics (batch axis = all leading axes)."""
         reduce_axes = tuple(range(batch.ndim - self.mean.ndim))
-        b_mean = jnp.mean(batch, axis=reduce_axes)
-        b_var = jnp.var(batch, axis=reduce_axes)
+        # reduce in the stats dtype (f32): bf16-stored image batches would
+        # otherwise accumulate in bf16; the convert fuses into the reduce
+        b_mean = jnp.mean(batch, axis=reduce_axes, dtype=self.mean.dtype)
+        b_var = jnp.var(batch.astype(self.mean.dtype), axis=reduce_axes)
         b_count = jnp.asarray(
             batch.size / max(self.mean.size, 1), self.count.dtype)
 

@@ -1,0 +1,82 @@
+"""Buffer-donation regression tests (VERDICT r1 weak #3).
+
+Two failure modes are pinned here:
+  * double donation — obs["image"] and env_state.camera were the SAME
+    buffer carried twice in the TrainState ("Attempt to donate the same
+    buffer twice"); the TrainState now stores dict obs WITHOUT the image
+    and train_epoch re-joins it from env_state.camera in-graph,
+  * layout-mismatched aliasing — XLA gives conv-consumed image params a
+    non-default layout, which broke input/output aliasing at execute time
+    on the TPU runtime; make_train_epoch pins default layouts on every
+    >=3D TrainState leaf.
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+
+import airgym_tpu.envs as envs
+from airgym_tpu.rl import ppo as ppo_mod
+
+
+def _trainer(name, ctl, n=16):
+    task = envs.make_task(name, ctl_mode=ctl, num_envs=n)
+    return ppo_mod.PPO(task, ppo_mod.PPOConfig(
+        horizon=8, minibatch_size=2 * n, mini_epochs=2))
+
+
+def test_dict_obs_donation_runs():
+    tr = _trainer("planning", "vel")
+    ts = tr.init(jax.random.PRNGKey(0))
+    step = tr.make_train_epoch()            # donation ON by default
+    for _ in range(3):
+        ts, m = step(ts)
+    assert jnp.isfinite(m["mean_reward"])
+    assert jnp.isfinite(m["a_loss"])
+
+
+def test_state_obs_donation_runs():
+    tr = _trainer("hovering", "rate", n=32)
+    ts = tr.init(jax.random.PRNGKey(0))
+    step = tr.make_train_epoch()
+    for _ in range(3):
+        ts, m = step(ts)
+    assert jnp.isfinite(m["mean_reward"])
+
+
+def test_trainstate_obs_carries_no_image():
+    """The stored TrainState must not alias env_state.camera in obs."""
+    tr = _trainer("planning", "vel")
+    ts = tr.init(jax.random.PRNGKey(0))
+    assert isinstance(ts.obs, dict) and "image" not in ts.obs
+    step = tr.make_train_epoch(donate=False)
+    ts2, _ = step(ts)
+    assert "image" not in ts2.obs
+
+
+def test_donation_matches_no_donation():
+    """Donation is an aliasing optimization — numerics must be identical."""
+    tr = _trainer("planning", "vel")
+    ts_a = tr.init(jax.random.PRNGKey(7))
+    ts_b = tr.init(jax.random.PRNGKey(7))
+    step_d = tr.make_train_epoch(donate=True)
+    step_n = tr.make_train_epoch(donate=False)
+    for _ in range(2):
+        ts_a, ma = step_d(ts_a)
+        ts_b, mb = step_n(ts_b)
+    assert jnp.allclose(ma["mean_reward"], mb["mean_reward"])
+    assert jnp.allclose(ma["a_loss"], mb["a_loss"], rtol=1e-5,
+                        atol=1e-6)
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: jnp.allclose(a, b, rtol=1e-5, atol=1e-6),
+        ts_a.params, ts_b.params))
+
+
+def test_rollout_images_stored_bf16():
+    """compress_image_obs stores rollout images as bfloat16 (halves the
+    dominant vision-task HBM buffer)."""
+    tr = _trainer("planning", "vel")
+    ts = tr.init(jax.random.PRNGKey(0))
+    ts = ts._replace(obs=tr._join_obs(ts.obs, ts.env_state))
+    _, traj, _, _ = tr.rollout(ts)
+    assert traj.obs["image"].dtype == jnp.bfloat16
+    assert traj.obs["observation"].dtype == jnp.float32
