@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, Optional
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -93,7 +93,8 @@ registry.register_asset("balls/balloon", AssetSpec(
     geometry="sphere", radius=0.2))
 registry.register_asset("cubes/1x1", AssetSpec(
     name="cubes/1x1", asset_type="single", semantic_id=CUBE_SEMANTIC_ID,
-    geometry="box", half_extents=(0.5, 0.5, 0.5), fix_base_link=False))
+    # exact: cubes/1x1/1x1dae.dae is a 0.3 m cube (scripts/extract_assets)
+    geometry="box", half_extents=(0.15, 0.15, 0.15), fix_base_link=False))
 registry.register_asset("grounds/ground", AssetSpec(
     name="grounds/ground", asset_type="boundary",
     semantic_id=GROUND_SEMANTIC_ID, geometry="plane"))
@@ -145,6 +146,167 @@ def tree_cylinders_from_placement(variant_idx: jnp.ndarray,
     valid = jnp.ones(radius.shape, dtype=bool)
     return sc.Cylinders(center=center, axis=axis, half_len=length / 2.0,
                         radius=radius, valid=valid)
+
+
+# --------------------------------------------------------------------------
+# Per-family multi-primitive geometry tables (reference URDF/DAE variants,
+# extracted offline by scripts/extract_assets.py — see its docstring for
+# exactness notes). Every table is in the Z-up asset frame; placement
+# composes a per-slot (x, y, yaw).
+
+
+class FamilyGeom(NamedTuple):
+    """Per-variant primitive tables, all [V, P, k] with a trailing valid
+    column (0 padding rows)."""
+    cyls: Optional[np.ndarray] = None     # [V, C, 9] center axis radius half_len valid
+    boxes: Optional[np.ndarray] = None    # [V, B, 7] center half_extents valid
+    sphs: Optional[np.ndarray] = None     # [V, S, 5] center radius valid
+    annuli: Optional[np.ndarray] = None   # [V, A, 10] center normal r_in r_out half_thick valid
+
+
+_FAMILY_CACHE: Dict[str, FamilyGeom] = {}
+
+
+def _load(name):
+    return np.load(os.path.join(_ASSET_DIR, name))
+
+
+def family_geometry(family: str) -> FamilyGeom:
+    """Geometry tables for a group-asset family (env_assets/<family>)."""
+    if family in _FAMILY_CACHE:
+        return _FAMILY_CACHE[family]
+    if family == "thin":
+        t = thin_tree_table()                      # [100, 8] legacy layout
+        radius, length = t[:, 0], t[:, 1]
+        off = t[:, 2:5]
+        pitch, uyaw = t[:, 6], t[:, 7]
+        axis = np.stack([np.cos(uyaw) * np.sin(pitch),
+                         np.sin(uyaw) * np.sin(pitch),
+                         np.cos(pitch)], axis=-1)
+        cyls = np.concatenate(
+            [off, axis, radius[:, None], length[:, None] / 2,
+             np.ones((len(t), 1))], axis=-1)[:, None, :]
+        geom = FamilyGeom(cyls=cyls.astype(np.float32))
+    elif family == "vtrees":
+        v = _load("vtrees.npy")                    # [100, 13, 8]
+        valid = np.ones(v.shape[:2] + (1,), np.float32)
+        geom = FamilyGeom(cyls=np.concatenate([v, valid], axis=-1))
+    elif family == "trees":
+        z = _load("tree_mesh.npz")
+        c, s = z["cylinders"], z["spheres"]        # [12, 8], [24, 4]
+        cyls = np.concatenate(
+            [c, np.ones((len(c), 1), np.float32)], axis=-1)[None]
+        sphs = np.concatenate(
+            [s, np.ones((len(s), 1), np.float32)], axis=-1)[None]
+        geom = FamilyGeom(cyls=cyls, sphs=sphs)
+    elif family == "cubes":
+        geom = FamilyGeom(boxes=_load("cubes.npy"))       # [8, 4, 7]
+    elif family == "flags":
+        z = _load("flags.npz")
+        ann = z["annuli"].copy()
+        # the ring panels are zero-thickness surfaces in the mesh; give
+        # them a 1 cm solid thickness so rays/contacts can hit them
+        ann[..., 8] = np.maximum(ann[..., 8], 0.01)
+        geom = FamilyGeom(cyls=z["cyls"], boxes=z["boxes"], annuli=ann)
+    elif family == "objects":
+        t = _load("objects.npy")                   # [5, 8] kind rows
+        is_box = t[:, 0] == 0
+        boxes = np.zeros((len(t), 1, 7), np.float32)
+        boxes[:, 0, :3] = t[:, 1:4]
+        boxes[:, 0, 3:6] = t[:, 4:7]
+        boxes[:, 0, 6] = is_box
+        sphs = np.zeros((len(t), 1, 5), np.float32)
+        sphs[:, 0, :3] = t[:, 1:4]
+        sphs[:, 0, 3] = t[:, 4]
+        sphs[:, 0, 4] = ~is_box
+        geom = FamilyGeom(boxes=boxes, sphs=sphs)
+    else:
+        raise KeyError(f"unknown asset family: {family}")
+    _FAMILY_CACHE[family] = geom
+    return geom
+
+
+def num_variants(family: str) -> int:
+    g = family_geometry(family)
+    for t in g:
+        if t is not None:
+            return t.shape[0]
+    return 0
+
+
+def _yaw_rot(yaw, v):
+    """Rotate [.., 3] vectors by per-element yaw [..] about z."""
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    return jnp.stack([c * v[..., 0] - s * v[..., 1],
+                      s * v[..., 0] + c * v[..., 1], v[..., 2]], axis=-1)
+
+
+class PlacedGroup(NamedTuple):
+    cylinders: Optional[sc.Cylinders] = None
+    spheres: Optional[sc.Spheres] = None
+    boxes: Optional[sc.Boxes] = None
+    annuli: Optional[sc.Annuli] = None
+
+
+def place_group(family: str, variant_idx: jnp.ndarray, pos_xy: jnp.ndarray,
+                yaw: jnp.ndarray) -> PlacedGroup:
+    """World-frame primitives for per-slot (variant, x, y, yaw) placements.
+
+    variant_idx [N, P] int, pos_xy [N, P, 2], yaw [N, P] — like the
+    reference placing a random URDF variant per slot at (x, y, 0) with a
+    random z rotation (asset_manager.py:145, planning.py:67-76). Every
+    per-variant primitive is composed with the slot transform; outputs
+    flatten the slot and primitive axes to [N, P*K, ...].
+    """
+    g = family_geometry(family)
+    n, p = variant_idx.shape
+    world_xyz = jnp.concatenate(
+        [pos_xy, jnp.zeros(pos_xy.shape[:-1] + (1,), pos_xy.dtype)],
+        axis=-1)                                           # [N, P, 3]
+
+    def compose_center(local_c):
+        # [N, P, K, 3]: yaw-rotate the asset-frame offset, add slot xy
+        return (_yaw_rot(yaw[..., None], local_c)
+                + world_xyz[:, :, None, :])
+
+    def flat(x, trailing):
+        return x.reshape((n, -1) + trailing)
+
+    cylinders = spheres = boxes = annuli = None
+    if g.cyls is not None:
+        row = jnp.asarray(g.cyls)[variant_idx]             # [N, P, C, 9]
+        center = compose_center(row[..., 0:3])
+        axis = _yaw_rot(yaw[..., None], row[..., 3:6])
+        cylinders = sc.Cylinders(
+            center=flat(center, (3,)), axis=flat(axis, (3,)),
+            half_len=flat(row[..., 7], ()), radius=flat(row[..., 6], ()),
+            valid=flat(row[..., 8] > 0, ()))
+    if g.sphs is not None:
+        row = jnp.asarray(g.sphs)[variant_idx]             # [N, P, S, 5]
+        center = compose_center(row[..., 0:3])
+        spheres = sc.Spheres(center=flat(center, (3,)),
+                             radius=flat(row[..., 3], ()),
+                             valid=flat(row[..., 4] > 0, ()))
+    if g.boxes is not None:
+        row = jnp.asarray(g.boxes)[variant_idx]            # [N, P, B, 7]
+        center = compose_center(row[..., 0:3])
+        nb = row.shape[2]
+        boxes = sc.Boxes(
+            center=flat(center, (3,)),
+            yaw=flat(jnp.broadcast_to(yaw[..., None], (n, p, nb)), ()),
+            half_extents=flat(row[..., 3:6], (3,)),
+            valid=flat(row[..., 6] > 0, ()))
+    if g.annuli is not None:
+        row = jnp.asarray(g.annuli)[variant_idx]           # [N, P, A, 10]
+        center = compose_center(row[..., 0:3])
+        normal = _yaw_rot(yaw[..., None], row[..., 3:6])
+        annuli = sc.Annuli(
+            center=flat(center, (3,)), normal=flat(normal, (3,)),
+            r_in=flat(row[..., 6], ()), r_out=flat(row[..., 7], ()),
+            half_thick=flat(row[..., 8], ()), valid=flat(row[..., 9] > 0,
+                                                         ()))
+    return PlacedGroup(cylinders=cylinders, spheres=spheres, boxes=boxes,
+                       annuli=annuli)
 
 
 def sample_tree_scene(key, n_envs: int, num_trees: int,

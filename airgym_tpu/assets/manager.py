@@ -127,14 +127,25 @@ class AssetManager:
                     valid=jnp.ones((n, count), bool)))
                 root_blocks.append(center)
 
+        annuli = []
         for name, count in self.cfg.include_group_asset:
             if count == 0:
                 continue
             key, kv, k = jax.random.split(key, 3)
             xy, yaw = place(k, count)
-            variant = jax.random.randint(kv, (n, count), 0, 100)
-            cyls.append(areg.tree_cylinders_from_placement(
-                variant, xy, yaw))
+            # random URDF variant per slot (asset_manager.py:145), exact
+            # per-family multi-primitive geometry tables
+            variant = jax.random.randint(
+                kv, (n, count), 0, areg.num_variants(name))
+            placed = areg.place_group(name, variant, xy, yaw)
+            if placed.cylinders is not None:
+                cyls.append(placed.cylinders)
+            if placed.spheres is not None:
+                sphs.append(placed.spheres)
+            if placed.boxes is not None:
+                boxes.append(placed.boxes)
+            if placed.annuli is not None:
+                annuli.append(placed.annuli)
             root_blocks.append(jnp.concatenate(
                 [xy, jnp.zeros((n, count, 1))], axis=-1))
 
@@ -148,6 +159,7 @@ class AssetManager:
             cylinders=cat(cyls, sc.Cylinders),
             spheres=cat(sphs, sc.Spheres),
             boxes=cat(boxes, sc.Boxes),
+            annuli=cat(annuli, sc.Annuli),
             ground=bool(self.cfg.include_boundary) or True)
 
         if root_blocks:

@@ -10,9 +10,11 @@ clamp/4.5-normalized images — the noise calls are commented out in
 DepthGen.dump_images, :430-441).
 
 Scene composition mirrors depthgen_config (3 thin trees + 3 trees +
-3 cubes + 3 flags); the mesh assets (trees/flags) are approximated by
-primitive compositions (trunk cylinders, arch pillars + lintels) — the
-purpose is depth-image diversity for the VAE, not physics.
+3 cubes + 3 flags) with per-variant geometry extracted from the reference
+URDF/DAE assets (scripts/extract_assets.py): thin/vtree cylinders and
+cube boxes are exact; the tree mesh is a fitted cylinder-skeleton +
+leaf-sphere composition and the flag gates are exact annulus panels /
+fitted arch hoops.
 
 ``generate(out_dir, n_frames)`` is the host-side driver that replaces the
 reference's ./misc .npy dump loop.
@@ -61,13 +63,20 @@ class DepthGenCfg(base.BaseEnvCfg):
 
 class DepthGenState(NamedTuple):
     core: base.EnvState
+    # per-family variants are fixed at creation (IsaacGym cannot swap a
+    # loaded asset after create_asset); positions/yaws re-randomize at
+    # every reset (depthgen.py:355-362)
     thin_variant: jnp.ndarray
     thin_pos: jnp.ndarray
     thin_yaw: jnp.ndarray
-    tree_pos: jnp.ndarray             # [N, T, 2] trunk positions
-    cube_pos: jnp.ndarray             # [N, C, 3]
+    tree_variant: jnp.ndarray
+    tree_pos: jnp.ndarray             # [N, T, 2]
+    tree_yaw: jnp.ndarray
+    cube_variant: jnp.ndarray
+    cube_pos: jnp.ndarray             # [N, C, 2]
     cube_yaw: jnp.ndarray
-    flag_pos: jnp.ndarray             # [N, F, 2] arch centers
+    flag_variant: jnp.ndarray
+    flag_pos: jnp.ndarray             # [N, F, 2]
     flag_yaw: jnp.ndarray
     camera: jnp.ndarray
     counter: jnp.ndarray
@@ -92,22 +101,22 @@ class DepthGen(base.QuadEnvCore):
         return jnp.stack([x, y], axis=-1)
 
     def _reset_scene(self, key, n):
+        """Re-randomized placements: (pos, yaw) per family."""
         cfg = self.cfg
         ks = jax.random.split(key, 8)
-        thin_pos = self._sample_xy(ks[0], n, cfg.num_thin)
-        thin_yaw = jax.random.uniform(ks[1], (n, cfg.num_thin),
-                                      minval=-np.pi, maxval=np.pi)
-        tree_pos = self._sample_xy(ks[2], n, cfg.num_trees)
-        cube_xy = self._sample_xy(ks[3], n, cfg.num_cubes)
-        cube_pos = jnp.concatenate(
-            [cube_xy, jnp.full((n, cfg.num_cubes, 1), 0.5)], axis=-1)
-        cube_yaw = jax.random.uniform(ks[4], (n, cfg.num_cubes),
-                                      minval=-np.pi, maxval=np.pi)
-        flag_pos = self._sample_xy(ks[5], n, cfg.num_flags)
-        flag_yaw = jax.random.uniform(ks[6], (n, cfg.num_flags),
-                                      minval=-np.pi, maxval=np.pi)
-        return thin_pos, thin_yaw, tree_pos, cube_pos, cube_yaw, \
-            flag_pos, flag_yaw
+
+        def yaws(k, count):
+            return jax.random.uniform(k, (n, count), minval=-np.pi,
+                                      maxval=np.pi)
+
+        return (self._sample_xy(ks[0], n, cfg.num_thin),
+                yaws(ks[1], cfg.num_thin),
+                self._sample_xy(ks[2], n, cfg.num_trees),
+                yaws(ks[3], cfg.num_trees),
+                self._sample_xy(ks[4], n, cfg.num_cubes),
+                yaws(ks[5], cfg.num_cubes),
+                self._sample_xy(ks[6], n, cfg.num_flags),
+                yaws(ks[7], cfg.num_flags))
 
     def _reset_root(self, key, n):
         kz, ka = jax.random.split(key)
@@ -126,64 +135,54 @@ class DepthGen(base.QuadEnvCore):
     def initial_state(self, key) -> DepthGenState:
         ks, kv, kr, kc = jax.random.split(key, 4)
         n = self.cfg.num_envs
-        thin_variant = jax.random.randint(kv, (n, self.cfg.num_thin), 0, 100)
+        cfg = self.cfg
+
+        def variants(k, count, family):
+            return jax.random.randint(k, (n, count), 0,
+                                      assets.num_variants(family))
+
+        kvs = jax.random.split(kv, 4)
         scene = self._reset_scene(ks, n)
         root = self._reset_root(kr, n)
         cam = jnp.zeros((n, 1, self.cam_cfg.width, self.cam_cfg.height),
                         dtype=self.cfg.dtype)
-        return DepthGenState(core=self.init_core(kc, root),
-                             thin_variant=thin_variant,
-                             thin_pos=scene[0], thin_yaw=scene[1],
-                             tree_pos=scene[2], cube_pos=scene[3],
-                             cube_yaw=scene[4], flag_pos=scene[5],
-                             flag_yaw=scene[6], camera=cam,
-                             counter=jnp.asarray(0, jnp.int32))
+        return DepthGenState(
+            core=self.init_core(kc, root),
+            thin_variant=variants(kvs[0], cfg.num_thin, "thin"),
+            thin_pos=scene[0], thin_yaw=scene[1],
+            tree_variant=variants(kvs[1], cfg.num_trees, "trees"),
+            tree_pos=scene[2], tree_yaw=scene[3],
+            cube_variant=variants(kvs[2], cfg.num_cubes, "cubes"),
+            cube_pos=scene[4], cube_yaw=scene[5],
+            flag_variant=variants(kvs[3], cfg.num_flags, "flags"),
+            flag_pos=scene[6], flag_yaw=scene[7],
+            camera=cam, counter=jnp.asarray(0, jnp.int32))
 
     def _scene(self, state: DepthGenState) -> dr.SceneForRender:
-        n = self.cfg.num_envs
-        thin = assets.tree_cylinders_from_placement(
-            state.thin_variant, state.thin_pos, state.thin_yaw)
-        # "trees": trunk cylinder r 0.1 h 3 (mesh tree approximation)
-        t = state.tree_pos.shape[1]
-        trunks = sc.Cylinders(
-            center=jnp.concatenate(
-                [state.tree_pos, jnp.full((n, t, 1), 1.5)], axis=-1),
-            axis=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (n, t, 3)),
-            half_len=jnp.full((n, t), 1.5),
-            radius=jnp.full((n, t), 0.1),
-            valid=jnp.ones((n, t), bool))
-        # flag arches: two pillars r 0.05 h 1.6, 1.2 m apart
-        f = state.flag_pos.shape[1]
-        off = jnp.stack([-jnp.sin(state.flag_yaw), jnp.cos(state.flag_yaw)],
-                        axis=-1) * 0.6
-        p1 = state.flag_pos + off
-        p2 = state.flag_pos - off
-        pillars = jnp.concatenate([p1, p2], axis=1)           # [n, 2f, 2]
-        arch = sc.Cylinders(
-            center=jnp.concatenate(
-                [pillars, jnp.full((n, 2 * f, 1), 0.8)], axis=-1),
-            axis=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]),
-                                  (n, 2 * f, 3)),
-            half_len=jnp.full((n, 2 * f), 0.8),
-            radius=jnp.full((n, 2 * f), 0.05),
-            valid=jnp.ones((n, 2 * f), bool))
-        cyl = sc.Cylinders(*[jnp.concatenate([a, b, c], axis=1)
-                             for a, b, c in zip(thin, trunks, arch)])
-        c = state.cube_pos.shape[1]
-        boxes = sc.Boxes(center=state.cube_pos, yaw=state.cube_yaw,
-                         half_extents=jnp.full((n, c, 3), 0.5),
-                         valid=jnp.ones((n, c), bool))
-        # arch lintels as flat boxes on top of the pillars
-        lintel = sc.Boxes(
-            center=jnp.concatenate(
-                [state.flag_pos, jnp.full((n, f, 1), 1.65)], axis=-1),
-            yaw=state.flag_yaw,
-            half_extents=jnp.broadcast_to(jnp.array([0.1, 0.7, 0.05]),
-                                          (n, f, 3)),
-            valid=jnp.ones((n, f), bool))
-        boxes = sc.Boxes(*[jnp.concatenate([a, b], axis=1)
-                           for a, b in zip(boxes, lintel)])
-        return dr.SceneForRender(cylinders=cyl, boxes=boxes, ground=True)
+        """Exact per-variant geometry for all four families
+        (scripts/extract_assets.py tables)."""
+        thin = assets.place_group("thin", state.thin_variant,
+                                  state.thin_pos, state.thin_yaw)
+        trees = assets.place_group("trees", state.tree_variant,
+                                   state.tree_pos, state.tree_yaw)
+        cubes = assets.place_group("cubes", state.cube_variant,
+                                   state.cube_pos, state.cube_yaw)
+        flags = assets.place_group("flags", state.flag_variant,
+                                   state.flag_pos, state.flag_yaw)
+
+        def cat(cls, parts):
+            parts = [p for p in parts if p is not None]
+            if not parts:
+                return None
+            return cls(*[jnp.concatenate(f, axis=1) for f in zip(*parts)])
+
+        return dr.SceneForRender(
+            cylinders=cat(sc.Cylinders, [thin.cylinders, trees.cylinders,
+                                         flags.cylinders]),
+            spheres=cat(sc.Spheres, [trees.spheres]),
+            boxes=cat(sc.Boxes, [cubes.boxes, flags.boxes]),
+            annuli=cat(sc.Annuli, [flags.annuli]),
+            ground=True)
 
     def step(self, state: DepthGenState, actions: jnp.ndarray
              ) -> Tuple[DepthGenState, base.StepOutput]:
@@ -222,11 +221,15 @@ class DepthGen(base.QuadEnvCore):
             thin_variant=state.thin_variant,
             thin_pos=merge(state.thin_pos, scene[0], 2),
             thin_yaw=merge(state.thin_yaw, scene[1], 1),
+            tree_variant=state.tree_variant,
             tree_pos=merge(state.tree_pos, scene[2], 2),
-            cube_pos=merge(state.cube_pos, scene[3], 2),
-            cube_yaw=merge(state.cube_yaw, scene[4], 1),
-            flag_pos=merge(state.flag_pos, scene[5], 2),
-            flag_yaw=merge(state.flag_yaw, scene[6], 1),
+            tree_yaw=merge(state.tree_yaw, scene[3], 1),
+            cube_variant=state.cube_variant,
+            cube_pos=merge(state.cube_pos, scene[4], 2),
+            cube_yaw=merge(state.cube_yaw, scene[5], 1),
+            flag_variant=state.flag_variant,
+            flag_pos=merge(state.flag_pos, scene[6], 2),
+            flag_yaw=merge(state.flag_yaw, scene[7], 1),
             camera=camera, counter=counter)
         out = base.StepOutput(obs=obs, priv_obs=None, reward=reward,
                               reset=reset, timeout=timeout, info={})

@@ -54,6 +54,20 @@ class Boxes(NamedTuple):
     valid: jnp.ndarray
 
 
+class Annuli(NamedTuple):
+    """Solid flat rings (the circle-flag gate panels,
+    env_assets/flags/circle*/: a board with a circular hole):
+    {p : |(p-c)·n| <= half_thick, r_in <= |(p-c) - ((p-c)·n)n| <= r_out}.
+    center [.., P, 3], unit normal [.., P, 3], r_in/r_out/half_thick
+    [.., P], valid [.., P]."""
+    center: jnp.ndarray
+    normal: jnp.ndarray
+    r_in: jnp.ndarray
+    r_out: jnp.ndarray
+    half_thick: jnp.ndarray
+    valid: jnp.ndarray
+
+
 # --------------------------------------------------------------------------
 # distance queries (for contact checks): point -> surface distance
 
@@ -90,6 +104,21 @@ def dist_to_boxes(p: jnp.ndarray, box: Boxes) -> jnp.ndarray:
     outside = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
     inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
     return jnp.where(box.valid, outside + inside, BIG)
+
+
+def dist_to_annuli(p: jnp.ndarray, ann: Annuli) -> jnp.ndarray:
+    """Signed distance from point(s) p [.., 3] to each solid ring [.., P]."""
+    d = p[..., None, :] - ann.center                       # [.., P, 3]
+    h = jnp.sum(d * ann.normal, axis=-1)                   # [.., P]
+    radial = d - h[..., None] * ann.normal
+    rho = jnp.linalg.norm(radial, axis=-1)
+    drho = jnp.maximum(jnp.maximum(ann.r_in - rho, rho - ann.r_out), 0.0)
+    dh = jnp.maximum(jnp.abs(h) - ann.half_thick, 0.0)
+    outside = jnp.sqrt(drho * drho + dh * dh)
+    inside = jnp.minimum(jnp.minimum(rho - ann.r_in, ann.r_out - rho),
+                         ann.half_thick - jnp.abs(h))
+    dist = jnp.where((drho > 0) | (dh > 0), outside, -inside)
+    return jnp.where(ann.valid, dist, BIG)
 
 
 # --------------------------------------------------------------------------
@@ -141,6 +170,65 @@ def ray_cylinders(o, v, cyl: Cylinders) -> jnp.ndarray:
     hit = ((disc > 0) & (t > 1e-6) & (jnp.abs(h) <= cyl.half_len[..., None, :])
            & cyl.valid[..., None, :])
     return jnp.min(jnp.where(hit, t, BIG), axis=-1)
+
+
+def ray_annuli(o, v, ann: Annuli) -> jnp.ndarray:
+    """Ray vs solid flat ring: intersect the thickness slab with the
+    radial band [r_in, r_out]; a ray entering inside the hole exits
+    through the inner rim (enter at the inner-cylinder far root)."""
+    nrm = ann.normal[..., None, :, :]                       # [.., 1, P, 3]
+    ce = ann.center[..., None, :, :]
+    oc = o[..., None, :] - ce                               # [.., R, P, 3]
+    vv = v[..., None, :]
+
+    vh = jnp.sum(vv * nrm, axis=-1)                         # [.., R, P]
+    oh = jnp.sum(oc * nrm, axis=-1)
+    ht = ann.half_thick[..., None, :]
+    vh_safe = jnp.where(jnp.abs(vh) < 1e-9, 1e-9, vh)
+    tsa = (-ht - oh) / vh_safe
+    tsb = (ht - oh) / vh_safe
+    ts1 = jnp.minimum(tsa, tsb)
+    ts2 = jnp.maximum(tsa, tsb)
+    flat = jnp.abs(vh) < 1e-9                   # ray parallel to the disc
+    in_slab = jnp.abs(oh) <= ht
+    ts1 = jnp.where(flat, jnp.where(in_slab, -BIG, BIG), ts1)
+    ts2 = jnp.where(flat, jnp.where(in_slab, BIG, -BIG), ts2)
+
+    v_perp = vv - vh[..., None] * nrm
+    o_perp = oc - oh[..., None] * nrm
+    a = jnp.sum(v_perp * v_perp, axis=-1)
+    b = jnp.sum(o_perp * v_perp, axis=-1)
+    osq = jnp.sum(o_perp * o_perp, axis=-1)
+    r_in = ann.r_in[..., None, :]
+    r_out = ann.r_out[..., None, :]
+    a_safe = jnp.maximum(a, 1e-12)
+    par = a < 1e-12                             # ray along the normal
+
+    c_o = osq - r_out * r_out
+    disc_o = b * b - a * c_o
+    sq_o = jnp.sqrt(jnp.maximum(disc_o, 0.0))
+    to1 = (-b - sq_o) / a_safe
+    to2 = (-b + sq_o) / a_safe
+    c_i = osq - r_in * r_in
+    # radial band membership for axis-parallel rays is constant in t
+    in_band = (c_o <= 0) & (c_i > 0)
+    to1 = jnp.where(par, jnp.where(in_band, -BIG, BIG),
+                    jnp.where(disc_o > 0, to1, BIG))
+    to2 = jnp.where(par, jnp.where(in_band, BIG, -BIG),
+                    jnp.where(disc_o > 0, to2, -BIG))
+
+    disc_i = b * b - a * c_i
+    sq_i = jnp.sqrt(jnp.maximum(disc_i, 0.0))
+    ti1 = (-b - sq_i) / a_safe
+    ti2 = (-b + sq_i) / a_safe
+    has_inner = (disc_i > 0) & ~par & (r_in > 0)
+
+    lo = jnp.maximum(ts1, to1)
+    hi = jnp.minimum(ts2, to2)
+    in_hole = has_inner & (lo > ti1) & (lo < ti2)
+    lo = jnp.where(in_hole, ti2, lo)
+    hit = (lo <= hi) & (lo > 1e-6) & ann.valid[..., None, :]
+    return jnp.min(jnp.where(hit, lo, BIG), axis=-1)
 
 
 def ray_boxes(o, v, box: Boxes) -> jnp.ndarray:

@@ -73,6 +73,26 @@ class SceneForRender(NamedTuple):
     spheres: Optional[sc.Spheres] = None
     boxes: Optional[sc.Boxes] = None
     ground: bool = False
+    annuli: Optional[sc.Annuli] = None      # circle-flag gate rings
+
+
+def min_dist_scene(p: jnp.ndarray, scene: "SceneForRender") -> jnp.ndarray:
+    """Min distance from point(s) p [.., 3] to every scene primitive
+    [..] (contact queries; ground excluded — tasks check z directly)."""
+    d = jnp.full(p.shape[:-1], BIG, p.dtype)
+    if scene.cylinders is not None:
+        d = jnp.minimum(d, jnp.min(
+            sc.dist_to_cylinders(p, scene.cylinders), axis=-1))
+    if scene.spheres is not None:
+        d = jnp.minimum(d, jnp.min(
+            sc.dist_to_spheres(p, scene.spheres), axis=-1))
+    if scene.boxes is not None:
+        d = jnp.minimum(d, jnp.min(
+            sc.dist_to_boxes(p, scene.boxes), axis=-1))
+    if scene.annuli is not None:
+        d = jnp.minimum(d, jnp.min(
+            sc.dist_to_annuli(p, scene.annuli), axis=-1))
+    return d
 
 
 def _scan_min(cast_one, prims, t0):
@@ -130,6 +150,12 @@ def render_depth(cfg: CameraCfg, root_states: jnp.ndarray,
             one = sc.Boxes(*[jnp.expand_dims(a, 1) for a in p])
             return sc.ray_boxes(o, dirs_u, one)
         t_eu = _scan_min(cast_box, scene.boxes, t_eu)
+
+    if scene.annuli is not None:
+        def cast_ann(p):
+            one = sc.Annuli(*[jnp.expand_dims(a, 1) for a in p])
+            return sc.ray_annuli(o, dirs_u, one)
+        t_eu = _scan_min(cast_ann, scene.annuli, t_eu)
 
     # euclidean t -> perpendicular z-depth: divide by |dir| where the
     # unnormalized dir had x == 1 (depth = t_eu / norm at that pixel)

@@ -10,11 +10,13 @@ write. The work is pure VPU arithmetic (~30 flops/ray/primitive), so the
 kernel is compute-bound rather than HBM-bound.
 
 Scene encoding: a packed [N, P, 12] float32 record table
-  rec[0]  type: 0 invalid | 1 cylinder | 2 sphere | 3 box
+  rec[0]  type: 0 invalid | 1 cylinder | 2 sphere | 3 box | 4 annulus
   rec[1:4]  center
   cylinder: rec[4:7] unit axis, rec[7] half_len, rec[8] radius
   sphere:   rec[8] radius
   box:      rec[4]=cos(yaw), rec[5]=sin(yaw), rec[9:12] half extents
+  annulus:  rec[4:7] unit normal, rec[7] half_thick, rec[8] r_in,
+            rec[9] r_out (flag-gate ring panels, physics/scene.py Annuli)
 The ground plane (z=0) is a static flag folded into the t-init.
 
 Output is perpendicular z-depth [N, W, H] in meters (far rays = BIG),
@@ -76,14 +78,27 @@ def pack_scene(n: int, scene: "dr.SceneForRender",
         r = r.at[..., 5].set(jnp.sin(b.yaw))
         r = r.at[..., 9:12].set(b.half_extents)
         recs.append(r)
+    if getattr(scene, "annuli", None) is not None:
+        a = scene.annuli
+        p = a.r_in.shape[1]
+        r = zeros(p)
+        r = r.at[..., 0].set(jnp.where(a.valid, 4.0, 0.0))
+        r = r.at[..., 1:4].set(a.center)
+        r = r.at[..., 4:7].set(a.normal)
+        r = r.at[..., 7].set(a.half_thick)
+        r = r.at[..., 8].set(a.r_in)
+        r = r.at[..., 9].set(a.r_out)
+        recs.append(r)
     if not recs:
         recs.append(zeros(1))
     table = jnp.concatenate(recs, axis=1)
-    # static type layout: [cylinders | spheres | boxes | padding]
+    # static type layout: [cylinders | spheres | boxes | annuli | padding]
+    ann = getattr(scene, "annuli", None)
     counts = (
         scene.cylinders.radius.shape[1] if scene.cylinders is not None else 0,
         scene.spheres.radius.shape[1] if scene.spheres is not None else 0,
         scene.boxes.yaw.shape[1] if scene.boxes is not None else 0,
+        ann.r_in.shape[1] if ann is not None else 0,
     )
     # pad P to a multiple of 8 for clean VMEM tiling
     p = table.shape[1]
@@ -162,6 +177,53 @@ def _kernel(origin_ref, rot_ref, prims_ref, out_ref, *, W, H, tan_h, tan_v,
             disc_s = b_s * b_s - c_s
             t_p = -b_s - jnp.sqrt(jnp.maximum(disc_s, 0.0))
             hit = (disc_s > 0) & (t_p > 1e-6)
+        elif kind == 4:  # annulus (solid flat ring, scene.ray_annuli)
+            nx_ = prims_ref[0, p, 4]
+            ny_ = prims_ref[0, p, 5]
+            nz_ = prims_ref[0, p, 6]
+            ht = prims_ref[0, p, 7]
+            ri = prims_ref[0, p, 8]
+            ro = prims_ref[0, p, 9]
+            vh = ux * nx_ + uy * ny_ + uz * nz_
+            oh = ocx * nx_ + ocy * ny_ + ocz * nz_
+            vh_safe = jnp.where(jnp.abs(vh) < 1e-9, 1e-9, vh)
+            tsa = (-ht - oh) / vh_safe
+            tsb = (ht - oh) / vh_safe
+            ts1 = jnp.minimum(tsa, tsb)
+            ts2 = jnp.maximum(tsa, tsb)
+            is_flat = jnp.abs(vh) < 1e-9
+            in_slab = jnp.abs(oh) <= ht
+            ts1 = jnp.where(is_flat, jnp.where(in_slab, -BIG, BIG), ts1)
+            ts2 = jnp.where(is_flat, jnp.where(in_slab, BIG, -BIG), ts2)
+            vpx, vpy, vpz = ux - vh * nx_, uy - vh * ny_, uz - vh * nz_
+            opx, opy, opz = ocx - oh * nx_, ocy - oh * ny_, ocz - oh * nz_
+            a_a = vpx * vpx + vpy * vpy + vpz * vpz
+            b_a = opx * vpx + opy * vpy + opz * vpz
+            osq = opx * opx + opy * opy + opz * opz
+            a_safe = jnp.maximum(a_a, 1e-12)
+            par = a_a < 1e-12
+            c_o = osq - ro * ro
+            disc_o = b_a * b_a - a_a * c_o
+            sq_o = jnp.sqrt(jnp.maximum(disc_o, 0.0))
+            to1 = (-b_a - sq_o) / a_safe
+            to2 = (-b_a + sq_o) / a_safe
+            c_i = osq - ri * ri
+            in_band = (c_o <= 0) & (c_i > 0)
+            to1 = jnp.where(par, jnp.where(in_band, -BIG, BIG),
+                            jnp.where(disc_o > 0, to1, BIG))
+            to2 = jnp.where(par, jnp.where(in_band, BIG, -BIG),
+                            jnp.where(disc_o > 0, to2, -BIG))
+            disc_i = b_a * b_a - a_a * c_i
+            sq_i = jnp.sqrt(jnp.maximum(disc_i, 0.0))
+            ti1 = (-b_a - sq_i) / a_safe
+            ti2 = (-b_a + sq_i) / a_safe
+            has_inner = (disc_i > 0) & ~par & (ri > 0)
+            lo = jnp.maximum(ts1, to1)
+            hi = jnp.minimum(ts2, to2)
+            in_hole = has_inner & (lo > ti1) & (lo < ti2)
+            lo = jnp.where(in_hole, ti2, lo)
+            t_p = lo
+            hit = (lo <= hi) & (lo > 1e-6)
         else:            # box (yaw-rotated slab test)
             cyaw = prims_ref[0, p, 4]
             syaw = prims_ref[0, p, 5]
@@ -191,7 +253,7 @@ def _kernel(origin_ref, rot_ref, prims_ref, out_ref, *, W, H, tan_h, tan_v,
 
     # static unroll: all primitive loads become static VMEM scalar reads
     # (a traced fori_loop index forces slow per-element dynamic gathers)
-    n_cyl, n_sph, n_box = counts
+    n_cyl, n_sph, n_box, n_ann = counts
     p = 0
     for _ in range(n_cyl):
         t_eu = body(p, 1, t_eu)
@@ -201,6 +263,9 @@ def _kernel(origin_ref, rot_ref, prims_ref, out_ref, *, W, H, tan_h, tan_v,
         p += 1
     for _ in range(n_box):
         t_eu = body(p, 3, t_eu)
+        p += 1
+    for _ in range(n_ann):
+        t_eu = body(p, 4, t_eu)
         p += 1
     # perpendicular z-depth = t_euclid * inv_norm (camera dir has x == 1)
     out_ref[0, :, :] = jnp.where(in_range, t_eu * inv_norm, BIG)
