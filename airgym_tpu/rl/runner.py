@@ -222,8 +222,9 @@ class Runner:
             player.restore(args["checkpoint"])
         games = int(self.params.get("config", {}).get(
             "player", {}).get("games_num", 10))
+        record_dir = args.get("record_dir")
         return player.run(max_steps=int(args.get("max_steps", 1000)),
-                          seed=seed)
+                          seed=seed, record_dir=record_dir)
 
     def run(self, args: Dict[str, Any]):
         if args.get("train"):
@@ -263,33 +264,48 @@ class Player:
         self.ts = runner.restore(self.trainer, self.ts, path)
 
     def run(self, max_steps: int = 1000, seed: int = 0,
-            chunk: int = 100):
+            chunk: int = 100, record_dir: Optional[str] = None,
+            record_envs: int = 4):
+        """Evaluate; when record_dir is set, dump headless episode
+        visualization (trajectory panels + depth gif — replaces the
+        reference viewer/cv2 debug, base_task.py:116-141,
+        customized.py:429-432)."""
         ts = self.ts
         env_state = self.task.initial_state(jax.random.PRNGKey(seed))
         n_rows = getattr(self.task, "flat_n", self.task.cfg.num_envs)
         env_state, out = self.task.step(
             env_state, jnp.zeros((n_rows, self.task.cfg.num_actions)))
         obs = out.obs
+        k_rec = min(record_envs, n_rows)
 
         def body(carry, _):
             env_state, obs = carry
             mu, _, _ = self.trainer.model.apply(ts.params, obs, ts.obs_rms)
             action = jnp.clip(mu, -1.0, 1.0)
             env_state, out = self.task.step(env_state, action)
-            return (env_state, out.obs), (out.reward, out.reset)
+            rec = {"reward": out.reward, "reset": out.reset}
+            if record_dir is not None:
+                core = getattr(env_state, "core", env_state)
+                rec["root"] = core.root[:k_rec, :13]
+                if hasattr(env_state, "camera"):
+                    rec["camera"] = env_state.camera[0, 0]
+            return (env_state, out.obs), rec
 
         run_chunk = jax.jit(lambda c: jax.lax.scan(body, c, None,
                                                    length=chunk))
-        rewards, resets = [], []
+        recs = []
         carry = (env_state, obs)
         for _ in range(max(1, max_steps // chunk)):
-            carry, (r, d) = run_chunk(carry)
-            rewards.append(np.asarray(r))
-            resets.append(np.asarray(d))
-        rewards = np.concatenate(rewards, 0)
-        resets = np.concatenate(resets, 0)
+            carry, r = run_chunk(carry)
+            recs.append(jax.tree.map(np.asarray, r))
+        rec = {k: np.concatenate([r[k] for r in recs], 0) for k in recs[0]}
+        rewards, resets = rec["reward"], rec["reset"]
         games = max(1, int(resets.sum()))
         mean_reward = float(rewards.sum() / games)
         print(f"av reward: {mean_reward:.2f} games played: {games}")
+        if record_dir is not None:
+            from airgym_tpu.utils.episode_viz import dump_episode
+            dump_episode(record_dir, rec)
+            print(f"episode visualization -> {record_dir}")
         return {"mean_reward": mean_reward, "games": games,
                 "steps": rewards.shape[0]}

@@ -40,6 +40,9 @@ def get_args(argv=None):
                    help="algorithm config YAML (default: "
                         "scripts/config/ppo_<task>.yaml)")
     p.add_argument("--max_steps", type=int, default=1000)
+    p.add_argument("--record_dir", default=None,
+                   help="--play: dump headless episode visualization "
+                        "(trajectory.png, depth.gif, episode.npz) here")
     return p.parse_args(argv)
 
 
@@ -74,6 +77,7 @@ def main(argv=None):
         "seed": args.seed,
         "checkpoint": args.checkpoint,
         "max_steps": args.max_steps,
+        "record_dir": args.record_dir,
     }
     return runner.run(run_args)
 
