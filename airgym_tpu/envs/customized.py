@@ -127,11 +127,11 @@ class Customized(base.QuadEnvCore):
 
         obs_vec = self.state_obs18(root, k_noise) - self.target
 
-        # contact check (customized.py:393-397): body sphere vs scene
+        # contact check (customized.py:393-397): body sphere vs every
+        # scene primitive type (cylinders/spheres/boxes/annuli)
         collisions = root[:, 2] < assets.ROBOT_COLLISION_RADIUS
-        if scene.cylinders is not None:
-            d = sc.dist_to_cylinders(root[:, 0:3], scene.cylinders)
-            collisions |= jnp.min(d, axis=-1) < assets.ROBOT_COLLISION_RADIUS
+        collisions |= (dr.min_dist_scene(root[:, 0:3], scene)
+                       < assets.ROBOT_COLLISION_RADIUS)
 
         reward, die, info = self._reward(root, acts, core.pre_actions,
                                          collisions)

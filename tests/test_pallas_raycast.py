@@ -58,7 +58,7 @@ def test_pallas_matches_xla_renderer():
 def test_pack_scene_layout():
     scene = make_scene()
     table, counts = pr.pack_scene(2, scene)
-    assert counts == (6, 1, 1)
+    assert counts == (6, 1, 1, 0)
     assert table.shape[1] % 8 == 0
     # cylinder records first, with type flag 1 where valid
     np.testing.assert_allclose(np.array(table[:, 0, 0]), 1.0)
