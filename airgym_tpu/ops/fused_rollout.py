@@ -81,10 +81,24 @@ def pack_policy(params, obs_rms) -> PolicyPack:
     )
 
 
+def pack_state_balloon(core, balloon, pre_root_pos) -> jnp.ndarray:
+    """Balloon task: hovering's 25 rows + balloon pos (25:28) +
+    pre_root_pos (28:31) in the same [32, N] record."""
+    s = fhov.pack_state(core)
+    s = s.at[25:28].set(balloon[:, 0:3].T)
+    s = s.at[28:31].set(pre_root_pos.T)
+    return s
+
+
+# task-specific episode lengths (episode_length_s / dt)
+_TASK_MAX_LEN = {"hovering": _MAX_LEN, "balloon": 800}
+
+
 def _kernel(seed_ref, s_ref,
             w0_r, b0_r, w1_r, b1_r, w2_r, b2_r, wmu_r, bmu_r, wv_r, bv_r,
             logstd_r, obs_mean_r, obs_istd_r,
-            out_ref, traj_ref, *, steps: int, obs_noise: bool):
+            out_ref, traj_ref, *, steps: int, obs_noise: bool,
+            task: str = "hovering"):
     w0, b0, w1, b1 = w0_r[...], b0_r[...], w1_r[...], b1_r[...]
     w2, b2, wmu, bmu = w2_r[...], b2_r[...], wmu_r[...], bmu_r[...]
     wv, bv, logstd = wv_r[...], bv_r[...], logstd_r[...]
@@ -100,7 +114,9 @@ def _kernel(seed_ref, s_ref,
     def F(i):
         return s_ref[i].reshape(shape)
 
-    st = tuple(F(i) for i in range(25))
+    n_rows = 31 if task == "balloon" else 25
+    st = tuple(F(i) for i in range(n_rows))
+    max_len = _TASK_MAX_LEN[task]
 
     mass, g = _P.mass, _P.gravity
     ixx, iyy, izz = _P.inertia_diag
@@ -116,7 +132,9 @@ def _kernel(seed_ref, s_ref,
     def body(step_i, st):
         (px_, py_, pz_, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz,
          rix, riy, riz, prx, pry, prz, prog, rstf,
-         pa0, pa1, pa2, pa3) = st
+         pa0, pa1, pa2, pa3) = st[:25]
+        if task == "balloon":
+            bx, by, bz, ppx, ppy, ppz = st[25:31]
 
         step_key = base_seed ^ ((step_i.astype(jnp.uint32)
                                  + jnp.uint32(1)) * jnp.uint32(0x9E3779B1))
@@ -138,8 +156,14 @@ def _kernel(seed_ref, s_ref,
         m20 = 2.0 * (qx * qz - qw * qy)
         m21 = 2.0 * (qy * qz + qw * qx)
         m22 = 1.0 - 2.0 * (qx * qx + qy * qy)
+        if task == "balloon":
+            # balloon.py:132-145: pos relative to the balloon (its quat
+            # is identity so the rot-difference part matches hovering's)
+            op0, op1, op2 = px_ - bx, py_ - by, pz_ - bz
+        else:
+            op0, op1, op2 = px_, py_, pz_
         obs_f = [m00 - 1.0, m01, m02, m10, m11 - 1.0, m12, m20, m21,
-                 m22 - 1.0, px_, py_, pz_, vx, vy, vz, wx, wy, wz]
+                 m22 - 1.0, op0, op1, op2, vx, vy, vz, wx, wy, wz]
         if obs_noise:
             for i_ in range(9):
                 obs_f[i_] = obs_f[i_] + 1e-3 * normal()
@@ -173,9 +197,14 @@ def _kernel(seed_ref, s_ref,
         # env consumes clamp(action, -1, 1) then the rate/thrust remap
         a_env = [jnp.clip(act_rows[k], -1.0, 1.0).reshape(shape)
                  for k in range(ACT)]
-        a0r, a1r, a2r = (jnp.clip(a_env[0], -6.0, 6.0),
-                         jnp.clip(a_env[1], -6.0, 6.0),
-                         jnp.clip(a_env[2], -6.0, 6.0))
+        if task == "balloon":
+            # NARROW_RATE_LIMITS (customized.py:109-114): rates +-1
+            rate_lim = 1.0
+        else:
+            rate_lim = 6.0
+        a0r, a1r, a2r = (jnp.clip(a_env[0], -rate_lim, rate_lim),
+                         jnp.clip(a_env[1], -rate_lim, rate_lim),
+                         jnp.clip(a_env[2], -rate_lim, rate_lim))
         a3r = jnp.clip(0.5 + 0.5 * a_env[3], 0.0, 1.0)
 
         # ---- controller + physics + reward + reset (as fused_hovering) --
@@ -274,35 +303,66 @@ def _kernel(seed_ref, s_ref,
         wx, wy, wz = rot_fwd(wbx_n, wby_n, wbz_n)
         prog = prog + 1.0
 
-        effort_r = 0.1 * (4.0 - (c1 + c2 + c3 + c4)) / 4.0
-        d0, d1, d2, d3 = a0r - pa0, a1r - pa1, a2r - pa2, a3r - pa3
-        dn = jnp.sqrt(d0 * d0 + d1 * d1 + d2 * d2)
-        cont_r = 0.2 * jnp.exp(-dn) + 0.5 / (1.0 + (3.0 * d3) ** 2)
-        thrust_r = 0.1 * (1.0 - jnp.abs(0.1533 - a3r))
-        pa0, pa1, pa2, pa3 = a0r, a1r, a2r, a3r
-
-        dist = jnp.sqrt(px_ * px_ + py_ * py_ + pz_ * pz_)
-        pos_r = 0.7 / (1.0 + (1.6 * dist) ** 2)
-        vn2 = jnp.sqrt(vx * vx + vy * vy + vz * vz)
-        dot = (-px_ * vx - py_ * vy - pz_ * vz) / jnp.maximum(
-            dist * vn2, 1e-6)
-        angle = jnp.abs(tm.acos(jnp.clip(dot, -1.0, 1.0)))
-        veldir_r = 0.1 * jnp.exp(-angle / np.pi)
-        nm00 = 1.0 - 2.0 * (qy * qy + qz * qz)
-        nm01 = 2.0 * (qx * qy - qw * qz)
-        yawang = tm.atan2(-nm01, nm00)
-        yaw_r = 1.0 / (1.0 + (3.0 * yawang / np.pi) ** 2)
-        spin = wz * wz
-        spin_r = 1.0 / (1.0 + (3.0 * spin) ** 2)
         ups_z = 1.0 - 2.0 * (qx * qx + qy * qy)
-        ups_r = ((ups_z + 1.0) * 0.5) ** 2
+        if task == "hovering":
+            effort_r = 0.1 * (4.0 - (c1 + c2 + c3 + c4)) / 4.0
+            d0, d1, d2, d3 = a0r - pa0, a1r - pa1, a2r - pa2, a3r - pa3
+            dn = jnp.sqrt(d0 * d0 + d1 * d1 + d2 * d2)
+            cont_r = 0.2 * jnp.exp(-dn) + 0.5 / (1.0 + (3.0 * d3) ** 2)
+            thrust_r = 0.1 * (1.0 - jnp.abs(0.1533 - a3r))
 
-        reward = (cont_r + effort_r + thrust_r + pos_r
-                  + pos_r * (veldir_r + ups_r + spin_r + yaw_r))
+            dist = jnp.sqrt(px_ * px_ + py_ * py_ + pz_ * pz_)
+            pos_r = 0.7 / (1.0 + (1.6 * dist) ** 2)
+            vn2 = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+            dot = (-px_ * vx - py_ * vy - pz_ * vz) / jnp.maximum(
+                dist * vn2, 1e-6)
+            angle = jnp.abs(tm.acos(jnp.clip(dot, -1.0, 1.0)))
+            veldir_r = 0.1 * jnp.exp(-angle / np.pi)
+            nm00 = 1.0 - 2.0 * (qy * qy + qz * qz)
+            nm01 = 2.0 * (qx * qy - qw * qz)
+            yawang = tm.atan2(-nm01, nm00)
+            yaw_r = 1.0 / (1.0 + (3.0 * yawang / np.pi) ** 2)
+            spin = wz * wz
+            spin_r = 1.0 / (1.0 + (3.0 * spin) ** 2)
+            ups_r = ((ups_z + 1.0) * 0.5) ** 2
 
-        die = (dist > 4.0) | (pz_ < -2.0) | (pz_ > 2.0) | (ups_z < 0.0)
-        timeout = (prog >= _MAX_LEN - 1) & ~die
-        reset = die | (prog >= _MAX_LEN - 1)
+            reward = (cont_r + effort_r + thrust_r + pos_r
+                      + pos_r * (veldir_r + ups_r + spin_r + yaw_r))
+            die = (dist > 4.0) | (pz_ < -2.0) | (pz_ > 2.0) | (ups_z < 0.0)
+        else:                              # balloon (balloon.py:125-170)
+            relx, rely, relz = bx - px_, by - py_, bz - pz_
+            check = jnp.sqrt(relx * relx + rely * rely + relz * relz)
+            dir_yaw = tm.atan2(rely, relx)
+            nm00 = 1.0 - 2.0 * (qy * qy + qz * qz)
+            nm01 = 2.0 * (qx * qy - qw * qz)
+            yawang = tm.atan2(-nm01, nm00)
+            dyaw = yawang - dir_yaw
+            wrapped = tm.atan2(jnp.sin(dyaw), jnp.cos(dyaw))
+            yaw_r = 1.0 / (1.0 + (1.6 * jnp.abs(wrapped)) ** 2)
+
+            dpx, dpy, dpz = bx - ppx, by - ppy, bz - ppz
+            guidance_r = 30.0 * (jnp.sqrt(dpx * dpx + dpy * dpy
+                                          + dpz * dpz) - check)
+            ups_r = 0.5 * ((ups_z + 1.0) * 0.5) ** 2
+            hit = check < 0.1
+            hit_r = 800.0 * hit.astype(jnp.float32)
+            effort_r = 0.1 * jnp.exp(-(a0r * a0r + a1r * a1r
+                                       + a2r * a2r + a3r * a3r))
+            d0, d1, d2, d3 = a0r - pa0, a1r - pa1, a2r - pa2, a3r - pa3
+            smooth_r = 0.1 * jnp.exp(-jnp.sqrt(
+                d0 * d0 + d1 * d1 + d2 * d2 + d3 * d3))
+            reward = (guidance_r + yaw_r + hit_r + smooth_r + ups_r
+                      + effort_r)
+            # kill rules (:193-215) + ground collision
+            # (reset_on_collision, base sphere 0.2 m)
+            die = ((relx < -0.2) | (vx < 0.0) | (check > 4.0)
+                   | (pz_ < 0.5) | (pz_ > 1.5) | hit | (pz_ < 0.2))
+            # update pre_root_pos AFTER the reward (balloon.py step order);
+            # zeroed below on reset
+            ppx, ppy, ppz = px_, py_, pz_
+        pa0, pa1, pa2, pa3 = a0r, a1r, a2r, a3r
+        timeout = (prog >= max_len - 1) & ~die
+        reset = die | (prog >= max_len - 1)
         new_rstf = reset.astype(jnp.float32)
 
         # ---- stream the step record to HBM ------------------------------
@@ -318,11 +378,25 @@ def _kernel(seed_ref, s_ref,
 
         keep = 1.0 - new_rstf
         u = lambda: draw() * 2.0 - 1.0
-        npx, npy, npz = u(), u(), u()
-        rqx, rqy, rqz, rqw = fhov._quat_from_euler(
-            0.01 * np.pi * u(), 0.01 * np.pi * u(), 0.05 * np.pi * u())
-        nvx, nvy, nvz = 0.5 * u(), 0.5 * u(), 0.5 * u()
-        nwx, nwy, nwz = 0.2 * u(), 0.2 * u(), 0.2 * u()
+        if task == "balloon":
+            # balloon.py:85-103 (one-sided positive pitch) + balloon
+            # resample at reset
+            npx, npy = 0.1 * u(), 0.1 * u()
+            npz = 1.0 + 0.2 * u()
+            rqx, rqy, rqz, rqw = fhov._quat_from_euler(
+                0.1 * np.pi * u(), 0.1 * np.pi * draw(),
+                0.2 * np.pi * u())
+            nvx, nvy, nvz = 0.5 * u(), 0.5 * u(), 0.5 * u()
+            nwx, nwy, nwz = 0.2 * u(), 0.2 * u(), 0.2 * u()
+            nbx = 2.5 + 0.5 * u()
+            nby = 2.0 * u()
+            nbz = 1.0 + 0.3 * u()
+        else:
+            npx, npy, npz = u(), u(), u()
+            rqx, rqy, rqz, rqw = fhov._quat_from_euler(
+                0.01 * np.pi * u(), 0.01 * np.pi * u(), 0.05 * np.pi * u())
+            nvx, nvy, nvz = 0.5 * u(), 0.5 * u(), 0.5 * u()
+            nwx, nwy, nwz = 0.2 * u(), 0.2 * u(), 0.2 * u()
 
         def mix(old, new):
             return old * keep + new * new_rstf
@@ -338,27 +412,35 @@ def _kernel(seed_ref, s_ref,
                               pa3 * keep)
         prog = prog * keep
 
-        return (px_, py_, pz_, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz,
-                rix, riy, riz, prx, pry, prz, prog, new_rstf,
-                pa0, pa1, pa2, pa3)
+        out_rows = (px_, py_, pz_, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz,
+                    rix, riy, riz, prx, pry, prz, prog, new_rstf,
+                    pa0, pa1, pa2, pa3)
+        if task == "balloon":
+            bx2, by2, bz2 = mix(bx, nbx), mix(by, nby), mix(bz, nbz)
+            out_rows = out_rows + (bx2, by2, bz2,
+                                   ppx * keep, ppy * keep, ppz * keep)
+        return out_rows
 
     st = jax.lax.fori_loop(0, steps, body, st)
 
     flat = lambda x: x.reshape(TILE)
-    for i in range(25):
+    for i in range(n_rows):
         out_ref[i] = flat(st[i])
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("steps", "obs_noise", "interpret"))
+                   static_argnames=("steps", "obs_noise", "interpret",
+                                    "task"))
 def rollout_fused_policy(packed, pack: PolicyPack, seed, steps: int,
-                         obs_noise: bool = True, interpret: bool = False):
+                         obs_noise: bool = True, interpret: bool = False,
+                         task: str = "hovering"):
     """[32, N] packed env state + policy weights -> (new packed state,
     trajectory [steps, REC, N])."""
     n = packed.shape[1]
     assert n % TILE == 0
     grid = (n // TILE,)
-    kernel = functools.partial(_kernel, steps=steps, obs_noise=obs_noise)
+    kernel = functools.partial(_kernel, steps=steps, obs_noise=obs_noise,
+                               task=task)
     wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13
     out, traj = pl.pallas_call(
         kernel,

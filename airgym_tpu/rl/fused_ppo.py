@@ -22,14 +22,29 @@ from airgym_tpu.rl import ppo as ppo_mod
 class FusedHoveringPPO(ppo_mod.PPO):
     """PPO whose rollout phase is ops/fused_rollout.rollout_fused_policy.
 
-    Requirements: hovering task, ctl_mode='rate', num_envs % 1024 == 0,
-    default [64,128,64] elu network, normalize_input on.
+    Requirements: hovering task (or a subclass-declared fused task),
+    ctl_mode='rate', num_envs % 1024 == 0, default [64,128,64] elu
+    network, normalize_input on.
     """
 
+    fused_task = "hovering"
+
     def __init__(self, task, cfg=ppo_mod.PPOConfig(), network_kw=None):
-        assert task.task_name == "hovering" and task.cfg.ctl_mode == "rate"
+        assert task.task_name == self.fused_task \
+            and task.cfg.ctl_mode == "rate"
         assert task.cfg.num_envs % fr.TILE == 0
         super().__init__(task, cfg, network_kw=network_kw)
+
+    # -- task hooks (overridden by fused variants) -------------------------
+
+    def _pack_env(self, env_state):
+        return fh.pack_state(env_state.core)
+
+    def _unpack_env(self, env_state, packed_out, core):
+        return env_state._replace(core=core)
+
+    def _last_obs(self, env_state, root, key):
+        return self.task.state_obs18(root, key) - self.task.target
 
     def rollout(self, ts: ppo_mod.TrainState):
         cfg = self.cfg
@@ -38,10 +53,10 @@ class FusedHoveringPPO(ppo_mod.PPO):
                                   dtype=jnp.int32)
 
         pack = fr.pack_policy(ts.params, ts.obs_rms)
-        packed = fh.pack_state(ts.env_state.core)
+        packed = self._pack_env(ts.env_state)
         packed_out, rec = fr.rollout_fused_policy(
             packed, pack, seed, cfg.horizon,
-            obs_noise=self.task.cfg.obs_noise)
+            obs_noise=self.task.cfg.obs_noise, task=self.fused_task)
 
         # unpack the trajectory record [H, REC, N]
         tp = lambda a: jnp.swapaxes(a, 1, 2)        # -> [H, N, k]
@@ -87,12 +102,12 @@ class FusedHoveringPPO(ppo_mod.PPO):
             reset_buf=packed_out[20] > 0.5,
             pre_actions=packed_out[21:25].T,
             rng=rng)
-        env_state = ts.env_state._replace(core=core)
+        env_state = self._unpack_env(ts.env_state, packed_out, core)
 
         # bootstrap value from the post-rollout observation (fresh noise;
         # for done envs GAE zeroes the bootstrap term, so the post-reset
         # state is never consumed)
-        last_obs = self.task.state_obs18(root, k_last) - self.task.target
+        last_obs = self._last_obs(env_state, root, k_last)
         _, _, _, _, last_value, _ = self._policy(
             ts.params, ts.obs_rms, last_obs, jax.random.PRNGKey(0))
 
@@ -102,3 +117,24 @@ class FusedHoveringPPO(ppo_mod.PPO):
                          rng=rng)
         infos = {"reward": jnp.mean(rewards)}
         return ts, traj, last_value, infos
+
+
+class FusedBalloonPPO(FusedHoveringPPO):
+    """Fused rollout for the Balloon task (rate mode): same kernel
+    skeleton with the balloon position + pre_root_pos threaded through
+    the packed state and the balloon reward/kill/reset rules in-kernel
+    (ops/fused_rollout.py task='balloon'; reference balloon.py:85-215)."""
+
+    fused_task = "balloon"
+
+    def _pack_env(self, env_state):
+        return fr.pack_state_balloon(env_state.core, env_state.balloon,
+                                     env_state.pre_root_pos)
+
+    def _unpack_env(self, env_state, packed_out, core):
+        balloon = env_state.balloon.at[:, 0:3].set(packed_out[25:28].T)
+        return env_state._replace(core=core, balloon=balloon,
+                                  pre_root_pos=packed_out[28:31].T)
+
+    def _last_obs(self, env_state, root, key):
+        return self.task._observations(root, env_state.balloon, key)
