@@ -43,9 +43,16 @@ _G = fhov._G
 OBS = 18
 ACT = 4
 H0, H1, H2 = 64, 128, 64
-# per-step record streamed to HBM: obs(18) act(4) nlp(1) value(1) mu(4)
-# reward(1) done(1) timeout(1) = 31 rows
+# per-step record streamed to HBM: obs(OBS) act(4) nlp(1) value(1) mu(4)
+# reward(1) done(1) timeout(1) = OBS + 13 rows
 REC = 31
+
+# tracking: 18-dim state + 10 future lemniscate points x 3 (tracking.py)
+_TASK_OBS = {"hovering": 18, "balloon": 18, "tracking": 48}
+
+
+def rec_len(task: str = "hovering") -> int:
+    return _TASK_OBS[task] + 13
 
 
 class PolicyPack(NamedTuple):
@@ -91,7 +98,7 @@ def pack_state_balloon(core, balloon, pre_root_pos) -> jnp.ndarray:
 
 
 # task-specific episode lengths (episode_length_s / dt)
-_TASK_MAX_LEN = {"hovering": _MAX_LEN, "balloon": 800}
+_TASK_MAX_LEN = {"hovering": _MAX_LEN, "balloon": 800, "tracking": 3600}
 
 
 def _kernel(seed_ref, s_ref,
@@ -162,8 +169,11 @@ def _kernel(seed_ref, s_ref,
             op0, op1, op2 = px_ - bx, py_ - by, pz_ - bz
         else:
             op0, op1, op2 = px_, py_, pz_
-        obs_f = [m00 - 1.0, m01, m02, m10, m11 - 1.0, m12, m20, m21,
-                 m22 - 1.0, op0, op1, op2, vx, vy, vz, wx, wy, wz]
+        # tracking obs is NOT target-relative (tracking.py:194-214): no
+        # identity subtraction on the rotation block
+        diag = 0.0 if task == "tracking" else 1.0
+        obs_f = [m00 - diag, m01, m02, m10, m11 - diag, m12, m20, m21,
+                 m22 - diag, op0, op1, op2, vx, vy, vz, wx, wy, wz]
         if obs_noise:
             for i_ in range(9):
                 obs_f[i_] = obs_f[i_] + 1e-3 * normal()
@@ -173,6 +183,16 @@ def _kernel(seed_ref, s_ref,
                 obs_f[i_] = obs_f[i_] + 2e-2 * normal()
             for i_ in range(15, 18):
                 obs_f[i_] = obs_f[i_] + 4e-1 * normal()
+        if task == "tracking":
+            # 10 future lemniscate points, drone-relative, noise-free
+            # (tracking.py ref_trajectory; traj_scale 0.25, stride 5)
+            for i_ in range(10):
+                t_ref = (prog + float(i_ * 5)) * (_DT * 0.25)
+                st_, ct_ = jnp.sin(t_ref), jnp.cos(t_ref)
+                den = 1.0 + ct_ * ct_
+                obs_f.append(3.0 * st_ / den - px_)
+                obs_f.append(3.0 * st_ * ct_ / den - py_)
+                obs_f.append(1.0 - pz_)
 
         # [OBS, TILE] matrix for the MXU
         X = jnp.concatenate([o.reshape(1, TILE) for o in obs_f], axis=0)
@@ -329,6 +349,34 @@ def _kernel(seed_ref, s_ref,
             reward = (cont_r + effort_r + thrust_r + pos_r
                       + pos_r * (veldir_r + ups_r + spin_r + yaw_r))
             die = (dist > 4.0) | (pz_ < -2.0) | (pz_ > 2.0) | (ups_z < 0.0)
+        elif task == "tracking":           # tracking.py:223-296, rate mode
+            effort_r = 0.1 * (4.0 - (c1 + c2 + c3 + c4)) / 4.0
+            d0, d1, d2, d3 = a0r - pa0, a1r - pa1, a2r - pa2, a3r - pa3
+            dn = jnp.sqrt(d0 * d0 + d1 * d1 + d2 * d2)
+            cont_r = 0.1 * jnp.exp(-dn) + 0.5 / (1.0 + (2.0 * d3) ** 2)
+            thrust_r = 0.1 * (1.0 - jnp.abs(0.1533 - a3r))
+
+            # current reference point at the (incremented) progress
+            t_ref = prog * (_DT * 0.25)
+            st_, ct_ = jnp.sin(t_ref), jnp.cos(t_ref)
+            den = 1.0 + ct_ * ct_
+            rfx = 3.0 * st_ / den
+            rfy = 3.0 * st_ * ct_ / den
+            ex, ey, ez = rfx - px_, rfy - py_, 1.0 - pz_
+            dist = jnp.sqrt(ex * ex + ey * ey + ez * ez)
+            dist_r = 1.0 / (1.0 + (1.8 * dist) ** 2)
+
+            nm00 = 1.0 - 2.0 * (qy * qy + qz * qz)
+            nm01 = 2.0 * (qx * qy - qw * qz)
+            yawang = tm.atan2(-nm01, nm00)
+            yaw_r = 1.0 / (1.0 + (4.0 * yawang / np.pi) ** 2)
+            spin = wz * wz
+            spin_r = 1.0 / (1.0 + (2.0 * spin) ** 2)
+            ups_r = ((ups_z + 1.0) * 0.5) ** 2
+
+            reward = (cont_r + effort_r + thrust_r + dist_r
+                      + dist_r * (spin_r + yaw_r + ups_r))
+            die = dist > 1.0
         else:                              # balloon (balloon.py:125-170)
             relx, rely, relz = bx - px_, by - py_, bz - pz_
             check = jnp.sqrt(relx * relx + rely * rely + relz * relz)
@@ -391,6 +439,13 @@ def _kernel(seed_ref, s_ref,
             nbx = 2.5 + 0.5 * u()
             nby = 2.0 * u()
             nbz = 1.0 + 0.3 * u()
+        elif task == "tracking":           # tracking.py:168-186
+            npx, npy = 0.1 * u(), 0.1 * u()
+            npz = 1.0 + 0.1 * u()
+            rqx, rqy, rqz, rqw = fhov._quat_from_euler(
+                0.1 * np.pi * u(), 0.1 * np.pi * u(), 0.2 * np.pi * u())
+            nvx, nvy, nvz = 0.5 * u(), 0.5 * u(), 0.5 * u()
+            nwx, nwy, nwz = 0.2 * u(), 0.2 * u(), 0.2 * u()
         else:
             npx, npy, npz = u(), u(), u()
             rqx, rqy, rqz, rqw = fhov._quat_from_euler(
@@ -441,6 +496,7 @@ def rollout_fused_policy(packed, pack: PolicyPack, seed, steps: int,
     grid = (n // TILE,)
     kernel = functools.partial(_kernel, steps=steps, obs_noise=obs_noise,
                                task=task)
+    rec = rec_len(task)
     wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13
     out, traj = pl.pallas_call(
         kernel,
@@ -452,12 +508,12 @@ def rollout_fused_policy(packed, pack: PolicyPack, seed, steps: int,
         out_specs=(
             pl.BlockSpec((_F, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((steps, REC, TILE), lambda i: (0, 0, i),
+            pl.BlockSpec((steps, rec, TILE), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((_F, n), jnp.float32),
-            jax.ShapeDtypeStruct((steps, REC, n), jnp.float32),
+            jax.ShapeDtypeStruct((steps, rec, n), jnp.float32),
         ),
         interpret=interpret,
     )(seed, packed, *pack)

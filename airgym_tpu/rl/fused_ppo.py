@@ -58,16 +58,17 @@ class FusedHoveringPPO(ppo_mod.PPO):
             packed, pack, seed, cfg.horizon,
             obs_noise=self.task.cfg.obs_noise, task=self.fused_task)
 
-        # unpack the trajectory record [H, REC, N]
+        # unpack the trajectory record [H, rec_len, N]
+        k = fr._TASK_OBS[self.fused_task]
         tp = lambda a: jnp.swapaxes(a, 1, 2)        # -> [H, N, k]
-        obs = tp(rec[:, 0:18])
-        actions = tp(rec[:, 18:22])
-        neglogp = rec[:, 22]
-        values = rec[:, 23]
-        mus = tp(rec[:, 24:28])
-        rewards = rec[:, 28]
-        dones = rec[:, 29] > 0.5
-        timeouts = rec[:, 30] > 0.5
+        obs = tp(rec[:, 0:k])
+        actions = tp(rec[:, k:k + 4])
+        neglogp = rec[:, k + 4]
+        values = rec[:, k + 5]
+        mus = tp(rec[:, k + 6:k + 10])
+        rewards = rec[:, k + 10]
+        dones = rec[:, k + 11] > 0.5
+        timeouts = rec[:, k + 12] > 0.5
         sigma = jnp.exp(ts.params["params"]["logstd"])
         sigmas = jnp.broadcast_to(sigma, mus.shape)
 
@@ -138,3 +139,25 @@ class FusedBalloonPPO(FusedHoveringPPO):
 
     def _last_obs(self, env_state, root, key):
         return self.task._observations(root, env_state.balloon, key)
+
+
+class FusedTrackingPPO(FusedHoveringPPO):
+    """Fused rollout for the Tracking task (rate mode): the 10-point
+    lemniscate reference window is synthesized in-kernel from the env's
+    progress counter (closed form), so the 48-dim observation never
+    round-trips through HBM (ops/fused_rollout.py task='tracking';
+    reference tracking.py:168-296)."""
+
+    fused_task = "tracking"
+
+    def _unpack_env(self, env_state, packed_out, core):
+        pre = jnp.where((packed_out[20] > 0.5)[:, None], 0.0,
+                        packed_out[0:3].T)
+        return env_state._replace(core=core, pre_root_pos=pre)
+
+    def _last_obs(self, env_state, root, key):
+        task = self.task
+        obs18 = task.state_obs18(root, key)
+        ref = task.ref_trajectory(env_state.core.progress)
+        rel = (ref - root[:, None, 0:3]).reshape(root.shape[0], -1)
+        return jnp.concatenate([obs18, rel], axis=-1)

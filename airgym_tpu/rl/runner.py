@@ -111,11 +111,14 @@ class Runner:
                               num_envs=num_envs)
         trainer_cls = ppo_mod.PPO
         # opt-in fused policy+env rollout kernel (config: use_fused_rollout)
-        if (cfg.get("use_fused_rollout")
-                and task_name == "hovering" and ctl_mode == "rate"
+        if (cfg.get("use_fused_rollout") and ctl_mode == "rate"
                 and num_envs % 1024 == 0):
-            from airgym_tpu.rl.fused_ppo import FusedHoveringPPO
-            trainer_cls = FusedHoveringPPO
+            from airgym_tpu.rl import fused_ppo
+            trainer_cls = {
+                "hovering": fused_ppo.FusedHoveringPPO,
+                "balloon": fused_ppo.FusedBalloonPPO,
+                "tracking": fused_ppo.FusedTrackingPPO,
+            }.get(task_name, ppo_mod.PPO)
         trainer = trainer_cls(task, ppo_config_from_params(self.params),
                               network_kw=network_kw_from_params(self.params))
         return task, trainer, seed
