@@ -97,6 +97,12 @@ class PPOConfig:
     # bf16 storage for rollout image observations (see rollout()); halves
     # the dominant vision-task HBM buffer, input noise floor unaffected
     compress_image_obs: bool = True
+    # store only the UNIQUE camera frames of a rollout (cameras render
+    # every task.cam_every steps off a global counter, so consecutive
+    # steps repeat the same frame — reference customized.py:399-404
+    # renders on the same cadence). Cuts the dominant vision buffer by
+    # cam_every x; minibatches gather (frame, env) pairs on the fly.
+    dedup_image_frames: bool = True
     reward_shaper_scale: float = 0.1
     max_epochs: int = 200
     save_frequency: int = 100
@@ -133,6 +139,12 @@ class Rollout(NamedTuple):
     rewards: jnp.ndarray
     dones: jnp.ndarray
     timeouts: jnp.ndarray
+    # frame-dedup fields (vision tasks with cam_every > 1, see rollout):
+    # frame_idx [H] — which unique frame each step observed; frames
+    # [F, N, 1, W, H] — the unique frames themselves (carried, not
+    # scan-stacked; attached to the Rollout after the scan).
+    frame_idx: Any = None
+    frames: Any = None
 
 
 class PPO:
@@ -156,6 +168,19 @@ class PPO:
         self.batch_size = self.num_envs * cfg.horizon
         self.num_minibatches = max(1, self.batch_size // cfg.minibatch_size)
         assert self.batch_size % self.num_minibatches == 0
+
+        # frame dedup (see PPOConfig.dedup_image_frames): exact only when
+        # cam_every divides the horizon — then every rollout contains
+        # exactly horizon/cam_every renders regardless of counter phase,
+        # so the [F, N, ...] buffer is fully used with F below.
+        self.cam_every = int(getattr(
+            task, "cam_every", getattr(task.cfg, "cam_every", 1)))
+        self.frame_dedup = (
+            cfg.dedup_image_frames
+            and getattr(task, "obs_is_dict", False)
+            and self.cam_every > 1
+            and cfg.horizon % self.cam_every == 0)
+        self.num_frames = cfg.horizon // self.cam_every + 1
 
     # ------------------------------------------------------------------ init
 
@@ -242,9 +267,12 @@ class PPO:
 
     def rollout(self, ts: TrainState) -> Tuple[TrainState, Rollout, jnp.ndarray]:
         cfg = self.cfg
+        dedup = self.frame_dedup
+        store_t = jnp.bfloat16 if cfg.compress_image_obs else None
 
         def step_fn(carry, _):
-            env_state, obs, ep_ret, ep_len, last_ret, last_len, rng = carry
+            (env_state, obs, ep_ret, ep_len, last_ret, last_len, rng,
+             frames, cur) = carry
             rng, k_act = jax.random.split(rng)
             action, nlp, mu, sigma, value, prenorm = self._policy(
                 ts.params, ts.obs_rms, obs, k_act)
@@ -263,23 +291,54 @@ class PPO:
             # store images bfloat16: the CNN consumes bf16 anyway (MXU),
             # and f32 rollout storage doubled the dominant HBM buffer
             store_obs = obs
-            if isinstance(obs, dict) and cfg.compress_image_obs:
-                store_obs = {**obs,
-                             "image": obs["image"].astype(jnp.bfloat16)}
+            frame_idx = None
+            if isinstance(obs, dict):
+                if dedup:
+                    # cameras only change when the global counter hits the
+                    # cadence; record WHICH unique frame this step saw and
+                    # append the newly rendered frame (if any) to `frames`
+                    store_obs = {k: v for k, v in obs.items()
+                                 if k != "image"}
+                    frame_idx = cur
+                    is_new = (env_state.counter % self.cam_every == 0)
+                    cur = cur + is_new.astype(jnp.int32)
+                    img_new = out.obs["image"]
+                    if store_t is not None:
+                        img_new = img_new.astype(store_t)
+                    frames = jax.lax.cond(
+                        is_new,
+                        lambda fr: jax.lax.dynamic_update_index_in_dim(
+                            fr, img_new, cur, axis=0),
+                        lambda fr: fr, frames)
+                elif cfg.compress_image_obs:
+                    store_obs = {**obs,
+                                 "image": obs["image"].astype(jnp.bfloat16)}
             data = Rollout(obs=store_obs, prenorm=prenorm, actions=action,
                            neglogp=nlp,
                            values=value, mus=mu, sigmas=sigma,
                            rewards=out.reward, dones=out.reset,
-                           timeouts=out.timeout)
+                           timeouts=out.timeout, frame_idx=frame_idx)
             info_means = {k: jnp.mean(v) for k, v in out.info.items()}
             return ((env_state, out.obs, ep_ret, ep_len, last_ret, last_len,
-                     rng), (data, info_means))
+                     rng, frames, cur), (data, info_means))
 
+        frames0, cur0 = None, None
+        if dedup:
+            img0 = ts.obs["image"]
+            if store_t is not None:
+                img0 = img0.astype(store_t)
+            frames0 = jnp.zeros((self.num_frames,) + img0.shape,
+                                img0.dtype).at[0].set(img0)
+            cur0 = jnp.asarray(0, jnp.int32)
         carry0 = (ts.env_state, ts.obs, ts.ep_return, ts.ep_length,
-                  ts.last_ep_return, ts.last_ep_length, ts.rng)
+                  ts.last_ep_return, ts.last_ep_length, ts.rng,
+                  frames0, cur0)
         carry, (traj, infos) = jax.lax.scan(step_fn, carry0, None,
                                             length=cfg.horizon)
-        env_state, obs, ep_ret, ep_len, last_ret, last_len, rng = carry
+        (env_state, obs, ep_ret, ep_len, last_ret, last_len, rng,
+         frames, _) = carry
+        if dedup:
+            traj = traj._replace(frames=frames)
 
         # value of the final observation for bootstrapping
         _, _, _, _, last_value, _ = self._policy(
@@ -373,22 +432,71 @@ class PPO:
                "mu": mu, "sigma": sigma}
         return total, aux
 
+    def _mb_from_scan_layout(self, img, k, mb_size):
+        """Env-major minibatch [mb, ...] out of a scan-layout [H, N, ...]
+        image buffer, without ever transposing the whole buffer.
+
+        Env-major flat index i = n * H + h. A contiguous span of mb
+        samples touches at most ceil(mb/H) + 1 consecutive envs: slice
+        that env window, transpose the small block, and cut the span."""
+        H = self.cfg.horizon
+        N = self.num_envs
+        me = -(-mb_size // H) + 1
+        start = k * mb_size
+        e0 = jnp.minimum(start // H, N - me)
+        win = jax.lax.dynamic_slice_in_dim(img, e0, me, axis=1)
+        win = jnp.swapaxes(win, 0, 1)             # [me, H, ...]
+        win = win.reshape((me * H,) + win.shape[2:])
+        return jax.lax.dynamic_slice_in_dim(win, start - e0 * H,
+                                            mb_size, axis=0)
+
     def update(self, ts: TrainState, dataset: Dict[str, Any]):
         cfg = self.cfg
         nmb = self.num_minibatches
         mb_size = self.batch_size // nmb
 
-        # reshape flat [B, ...] -> [nmb, mb, ...]
+        # reshape flat [B, ...] -> [nmb, mb, ...]; the image leaf stays in
+        # scan layout [H, N, ...] (see train_epoch) and is extracted per
+        # minibatch by _mb_from_scan_layout
         def split_mb(x):
-            return jax.tree.map(
-                lambda a: a.reshape((nmb, mb_size) + a.shape[1:]), x)
+            return x.reshape((nmb, mb_size) + x.shape[1:])
 
-        batched = {k: split_mb(v) for k, v in dataset.items()}
+        dataset = dict(dataset)
+        frames = dataset.pop("frames", None)        # [F, N, ...] (dedup)
+        frame_idx = dataset.pop("frame_idx", None)  # [H]
+        batched = {}
+        scan_img = None
+        for key, v in dataset.items():
+            if key == "obs" and isinstance(v, dict):
+                v = dict(v)
+                scan_img = v.pop("image", None)
+                batched[key] = {kk: split_mb(a) for kk, a in v.items()}
+            else:
+                batched[key] = jax.tree.map(split_mb, v)
+
+        H = cfg.horizon
+
+        def gather_frames(k):
+            """Env-major minibatch images out of the dedup frames buffer:
+            flat sample j = n * H + h observes frames[frame_idx[h], n]."""
+            j = k * mb_size + jnp.arange(mb_size)
+            return frames[frame_idx[j % H], j // H]
 
         def minibatch_step(carry, idx):
             params, opt_state, lr, mus, sigmas = carry
             mb = {k: jax.tree.map(lambda a: a[idx], v)
                   for k, v in batched.items()}
+            if frames is not None:
+                # optimization_barrier: keep the conv's preferred layout
+                # from propagating into the full frames buffer (XLA would
+                # otherwise hoist a relayout copy of all ~GBs of it)
+                mb["obs"] = dict(mb["obs"])
+                mb["obs"]["image"] = jax.lax.optimization_barrier(
+                    gather_frames(idx))
+            elif scan_img is not None:
+                mb["obs"] = dict(mb["obs"])
+                mb["obs"]["image"] = jax.lax.optimization_barrier(
+                    self._mb_from_scan_layout(scan_img, idx, mb_size))
             mb["mus"] = mus[idx]
             mb["sigmas"] = sigmas[idx]
             (loss, aux), grads = jax.value_and_grad(
@@ -454,8 +562,12 @@ class PPO:
         if cfg.normalize_input:
             if isinstance(ts.obs_rms, dict):
                 obs_rms = dict(ts.obs_rms)
-                obs_rms["image"] = obs_rms["image"].update(
-                    traj.obs["image"])
+                # with frame dedup the per-pixel stats update runs over the
+                # unique frames (each observed cam_every steps; equal
+                # per-frame weighting, same limit stats)
+                imgs = (traj.frames if self.frame_dedup
+                        else traj.obs["image"])
+                obs_rms["image"] = obs_rms["image"].update(imgs)
                 obs_rms["observation"] = obs_rms["observation"].update(
                     traj.prenorm)
                 ts = ts._replace(obs_rms=obs_rms)
@@ -477,20 +589,28 @@ class PPO:
         elif cfg.normalize_advantage:
             adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
 
-        # flatten [H, N, ...] time-major -> [H*N, ...]. This is a pure
-        # reshape of the scan-stacked rollout (NO transpose): on vision
-        # tasks the env-major transpose materialized a second copy of the
-        # [H, N, 1, 212, 120] image buffer (~10 GB at 4096 envs) and was
-        # the single biggest HBM peak. The reference's PPODataset also
-        # slices contiguously without shuffling (datasets.py:6-44); only
-        # the grouping differs (time-blocks instead of env-blocks), which
-        # changes no loss semantics — every sample is visited once per
-        # mini-epoch and the mu/sigma write-back indexes the same layout.
+        # flatten [H, N, ...] env-major -> [N*H, ...] so minibatches group
+        # trajectories like the reference's PPODataset (datasets.py:6-44,
+        # contiguous slices, no shuffling). Time-major grouping (all envs
+        # at one timestep) measurably slows learning — samples within a
+        # minibatch are then maximally correlated. The IMAGE leaf is the
+        # exception: transposing it would materialize a second copy of
+        # the [H, N, 1, 212, 120] buffer (~10 GB at 4096 envs), so it
+        # stays in scan layout and update() extracts env-major minibatch
+        # windows from it on the fly (see _mb_from_scan_layout).
         def flat(x):
+            x = jnp.swapaxes(x, 0, 1)
             return x.reshape((self.batch_size,) + x.shape[2:])
 
+        obs_flat = traj.obs
+        if isinstance(obs_flat, dict):
+            obs_flat = {k: (v if k == "image" else flat(v))
+                        for k, v in obs_flat.items()}
+        else:
+            obs_flat = flat(obs_flat)
+
         dataset = {
-            "obs": jax.tree.map(flat, traj.obs),
+            "obs": obs_flat,
             "actions": flat(traj.actions),
             "neglogp": flat(traj.neglogp),
             "values": flat(values_m),
@@ -499,6 +619,11 @@ class PPO:
             "mus_init": flat(traj.mus),
             "sigmas_init": flat(traj.sigmas),
         }
+        if self.frame_dedup:
+            # unique frames + per-step frame pointers; update() gathers
+            # the (frame, env) pairs of each minibatch on the fly
+            dataset["frames"] = traj.frames          # [F, N, 1, W, H]
+            dataset["frame_idx"] = traj.frame_idx    # [H]
 
         ts, metrics = self.update(ts, dataset)
         ts = ts._replace(epoch=ts.epoch + 1,

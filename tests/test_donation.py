@@ -72,11 +72,55 @@ def test_donation_matches_no_donation():
 
 
 def test_rollout_images_stored_bf16():
-    """compress_image_obs stores rollout images as bfloat16 (halves the
+    """compress_image_obs stores rollout frames as bfloat16 (halves the
     dominant vision-task HBM buffer)."""
     tr = _trainer("planning", "vel")
+    assert tr.frame_dedup                       # cam_every=4 divides 8
     ts = tr.init(jax.random.PRNGKey(0))
     ts = ts._replace(obs=tr._join_obs(ts.obs, ts.env_state))
     _, traj, _, _ = tr.rollout(ts)
-    assert traj.obs["image"].dtype == jnp.bfloat16
+    assert "image" not in traj.obs              # deduped out of the scan
+    assert traj.frames.dtype == jnp.bfloat16
+    assert traj.frames.shape[0] == tr.num_frames
     assert traj.obs["observation"].dtype == jnp.float32
+
+
+def test_frame_dedup_reconstructs_full_rollout():
+    """frames[frame_idx[h], n] must equal the naive per-step image store
+    for every (h, n) — the dedup is exact, not an approximation."""
+    task = envs.make_task("planning", ctl_mode="vel", num_envs=8)
+    cfg = ppo_mod.PPOConfig(horizon=8, minibatch_size=16, mini_epochs=1)
+    import dataclasses
+    tr_d = ppo_mod.PPO(task, cfg)
+    tr_n = ppo_mod.PPO(task, dataclasses.replace(
+        cfg, dedup_image_frames=False))
+    ts = tr_d.init(jax.random.PRNGKey(3))
+    ts = ts._replace(obs=tr_d._join_obs(ts.obs, ts.env_state))
+    _, traj_d, _, _ = tr_d.rollout(ts)
+    _, traj_n, _, _ = tr_n.rollout(ts)
+    recon = traj_d.frames[traj_d.frame_idx]     # [H, N, 1, W, H]
+    assert jnp.array_equal(recon, traj_n.obs["image"])
+    # and the minibatch gather path sees the same samples env-major
+    H, N = 8, 8
+    dataset = {"frames": traj_d.frames, "frame_idx": traj_d.frame_idx}
+    naive = jnp.swapaxes(traj_n.obs["image"], 0, 1).reshape(
+        (H * N,) + traj_n.obs["image"].shape[2:])
+    frames, frame_idx = dataset["frames"], dataset["frame_idx"]
+    for k in range(H * N // 16):
+        j = k * 16 + jnp.arange(16)
+        got = frames[frame_idx[j % H], j // H]
+        assert jnp.array_equal(got, naive[k * 16:(k + 1) * 16])
+
+
+def test_scan_layout_minibatch_extraction_exact():
+    """update()'s env-major image minibatches must equal the naive
+    full-transpose path, including spans that cut mid-trajectory."""
+    task = envs.make_task("planning", ctl_mode="vel", num_envs=16)
+    tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(
+        horizon=12, minibatch_size=16, mini_epochs=1))
+    H, N = 12, 16
+    img = jnp.arange(H * N * 3, dtype=jnp.float32).reshape(H, N, 3)
+    flat = jnp.swapaxes(img, 0, 1).reshape(H * N, 3)
+    for k in range(H * N // 16):
+        got = tr._mb_from_scan_layout(img, jnp.asarray(k), 16)
+        assert jnp.array_equal(got, flat[k * 16:(k + 1) * 16])
