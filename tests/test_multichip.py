@@ -59,3 +59,29 @@ def test_env_state_is_actually_sharded():
     # params replicated
     leaf = jax.tree.leaves(ts.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_vision_task_with_frame_dedup():
+    """Vision train epoch (dict obs + frame-dedup gather) under env-axis
+    sharding: runs, stays finite, and matches the unsharded trajectory.
+    The dedup minibatch gather indexes [frame, env] pairs — env ids cross
+    shard boundaries, which XLA must resolve without changing numerics."""
+    task = envs.make_task("planning", ctl_mode="vel", num_envs=16)
+    tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(
+        horizon=8, minibatch_size=32, mini_epochs=2))
+    assert tr.frame_dedup
+    ts0 = tr.init(jax.random.PRNGKey(1))
+    step = tr.make_train_epoch(donate=False)
+
+    ts_a, m_a = step(ts0)
+
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    ts_b = pmesh.shard_env_batch(tr.init(jax.random.PRNGKey(1)), mesh,
+                                 tr.num_envs)
+    with mesh:
+        ts_b, m_b = step(ts_b)
+
+    for k in m_a:
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]),
+                                   rtol=5e-3, atol=5e-4, err_msg=k)
