@@ -119,8 +119,8 @@ def bench_vision_training():
     """Planning (depth camera + CNN) PPO at the reference's full scale
     (ppo_planning.yaml: 4096 actors, minibatch 2048, 5 mini-epochs) —
     the second hot loop (reference customized.py:399-435). Fits on one
-    16 GB chip thanks to bf16 rollout image storage + zero-copy
-    time-major dataset + layout-pinned buffer donation."""
+    16 GB chip thanks to bf16 unique-frame rollout storage (frame dedup)
+    + on-the-fly env-major minibatch gathers + layout-pinned donation."""
     n, horizon, calls = 4096, 24, 5
     task = envs.make_task("planning", ctl_mode="vel", num_envs=n)
     tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(
@@ -139,11 +139,35 @@ def bench_vision_training():
     return round(n * horizon * calls / dt, 1)
 
 
+def bench_avoid_training():
+    """Avoid (ballistic cube + depth camera) at the reference's full scale
+    (ppo_avoid.yaml: 4096 actors, horizon 64, minibatch 2048). The
+    [H, N, 1, 212, 120] image buffer alone is 12.4 GB — it fits on one
+    16 GB chip only because rollouts store unique camera frames
+    (PPOConfig.dedup_image_frames: cameras render every 4th step, so the
+    buffer shrinks 4x) and minibatches gather (frame, env) pairs."""
+    n, horizon, calls = 4096, 64, 3
+    task = envs.make_task("avoid", ctl_mode="vel", num_envs=n)
+    tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(
+        horizon=horizon, minibatch_size=2048, mini_epochs=5))
+    ts = tr.init(jax.random.PRNGKey(0))
+    step = tr.make_train_epoch()
+    ts, m = step(ts)
+    jax.block_until_ready(ts.lr)
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        ts, m = step(ts)
+    jax.block_until_ready(ts.lr)
+    dt = time.perf_counter() - t0
+    return round(n * horizon * calls / dt, 1)
+
+
 def main():
     sps = bench_env_steps()
     fused_msps = bench_fused()
     train = bench_training()
     vision_sps = bench_vision_training()
+    avoid_sps = bench_avoid_training()
     out = {
         "metric": "hovering_env_steps_per_sec_8192envs",
         "value": round(sps, 1),
@@ -154,6 +178,7 @@ def main():
     out.update(train)
     out["fused_kernel_env_steps_per_sec_131072envs"] = fused_msps * 1e6
     out["planning_cnn_train_env_steps_per_sec_4096envs"] = vision_sps
+    out["avoid_cnn_train_env_steps_per_sec_4096envs_h64"] = avoid_sps
     print(json.dumps(out))
 
 
