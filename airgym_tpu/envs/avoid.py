@@ -17,7 +17,7 @@ by then the episode outcome is already decided.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -169,7 +169,8 @@ class Avoid(base.QuadEnvCore):
 
     # -- step -------------------------------------------------------------
 
-    def step(self, state: AvoidState, actions: jnp.ndarray
+    def step(self, state: AvoidState, actions: jnp.ndarray,
+             render: Optional[bool] = None
              ) -> Tuple[AvoidState, base.StepOutput]:
         core = state.core
         cfg = self.cfg
@@ -189,10 +190,18 @@ class Avoid(base.QuadEnvCore):
         counter = state.counter + 1
         progress = core.progress + 1
 
-        camera = jax.lax.cond(
-            counter % cfg.cam_every == 0,
-            lambda: self._render(root, obj, k_cam),
-            lambda: state.camera)
+        # `render`: None = dynamic cadence (reference parity); True/False
+        # = STATIC decision for phase-aligned rollouts (a lax.cond inside
+        # a training scan executes the render branch every step on TPU)
+        if render is None:
+            camera = jax.lax.cond(
+                counter % cfg.cam_every == 0,
+                lambda: self._render(root, obj, k_cam),
+                lambda: state.camera)
+        elif render:
+            camera = self._render(root, obj, k_cam)
+        else:
+            camera = state.camera
 
         obs_vec = local_state_obs(root, cfg.target_pos, acts)
 

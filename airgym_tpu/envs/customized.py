@@ -16,7 +16,7 @@ new vision task.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -107,7 +107,8 @@ class Customized(base.QuadEnvCore):
         scene, states = self.manager.sample_scene(state.scene_key)
         return scene, states
 
-    def step(self, state: CustomizedState, actions: jnp.ndarray
+    def step(self, state: CustomizedState, actions: jnp.ndarray,
+             render: Optional[bool] = None
              ) -> Tuple[CustomizedState, base.StepOutput]:
         cfg = self.cfg
         core = state.core
@@ -120,10 +121,17 @@ class Customized(base.QuadEnvCore):
         progress = core.progress + 1
 
         scene, asset_states = self._scene(state)
-        camera = jax.lax.cond(
-            counter % cfg.cam_every == 0,
-            lambda: dr.render_and_process(self.cam_cfg, root, scene, k_cam),
-            lambda: state.camera)
+        # static render override for phase-aligned rollouts (see avoid.py)
+        if render is None:
+            camera = jax.lax.cond(
+                counter % cfg.cam_every == 0,
+                lambda: dr.render_and_process(self.cam_cfg, root, scene,
+                                              k_cam),
+                lambda: state.camera)
+        elif render:
+            camera = dr.render_and_process(self.cam_cfg, root, scene, k_cam)
+        else:
+            camera = state.camera
 
         obs_vec = self.state_obs18(root, k_noise) - self.target
 

@@ -23,7 +23,7 @@ to [E, R, ...] only for env-level reductions (any-robot reset).
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -158,7 +158,8 @@ class MAPlanning(base.QuadEnvCore):
 
     # -- step -------------------------------------------------------------
 
-    def step(self, state: MAPlanningState, actions: jnp.ndarray
+    def step(self, state: MAPlanningState, actions: jnp.ndarray,
+             render: Optional[bool] = None
              ) -> Tuple[MAPlanningState, base.StepOutput]:
         cfg = self.cfg
         e, r, n = cfg.num_envs, cfg.num_robots, self.flat_n
@@ -174,10 +175,16 @@ class MAPlanning(base.QuadEnvCore):
         progress = core.progress + 1               # [E]
 
         goal_flat = jnp.repeat(state.goal, r, axis=0)      # [n, 3]
-        camera = jax.lax.cond(
-            counter % cfg.cam_every == 0,
-            lambda: self._render(root, state.goal),
-            lambda: state.camera)
+        # static render override for phase-aligned rollouts (see avoid.py)
+        if render is None:
+            camera = jax.lax.cond(
+                counter % cfg.cam_every == 0,
+                lambda: self._render(root, state.goal),
+                lambda: state.camera)
+        elif render:
+            camera = self._render(root, state.goal)
+        else:
+            camera = state.camera
         esdf = jnp.min(camera.reshape(n, -1), axis=-1)
 
         # observation (maplanning.py:470-514)

@@ -26,7 +26,7 @@ reference.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -146,7 +146,8 @@ class Planning(base.QuadEnvCore):
 
     # -- step -------------------------------------------------------------
 
-    def step(self, state: PlanningState, actions: jnp.ndarray
+    def step(self, state: PlanningState, actions: jnp.ndarray,
+             render: Optional[bool] = None
              ) -> Tuple[PlanningState, base.StepOutput]:
         core = state.core
         cfg = self.cfg
@@ -159,10 +160,16 @@ class Planning(base.QuadEnvCore):
         counter = state.counter + 1
         progress = core.progress + 1
 
-        camera = jax.lax.cond(
-            counter % cfg.cam_every == 0,
-            lambda: self._render(root, state, k_cam),
-            lambda: state.camera)
+        # static render override for phase-aligned rollouts (see avoid.py)
+        if render is None:
+            camera = jax.lax.cond(
+                counter % cfg.cam_every == 0,
+                lambda: self._render(root, state, k_cam),
+                lambda: state.camera)
+        elif render:
+            camera = self._render(root, state, k_cam)
+        else:
+            camera = state.camera
         esdf = jnp.min(camera.reshape(cfg.num_envs, -1), axis=-1)
 
         # observation (planning.py:186-219)

@@ -125,6 +125,7 @@ class ActorCritic(nn.Module):
     image_encoder: Optional[str] = None      # None | 'cnn' | 'vae'
     image_feature_dim: int = 30
     vae_latent_dim: int = 64
+    cnn_compute_dtype: Any = jnp.bfloat16    # None -> full f32 convs
 
     def encode(self, obs, obs_rms=None):
         """-> (mlp input after normalization, pre-normalization vector).
@@ -134,8 +135,18 @@ class ActorCritic(nn.Module):
         forwards; here stats are updated functionally once per epoch).
         """
         if isinstance(obs, dict):
-            img = obs["image"]
             vec = obs["observation"]
+            if "features" in obs:
+                # precomputed encoder features (the PPO trainer encodes
+                # each UNIQUE camera frame once and gathers — see
+                # rl/ppo.py frame dedup); normalization placement is
+                # unchanged: concat rms still runs below
+                feat = obs["features"]
+                prenorm = jnp.concatenate([vec, feat], axis=-1)
+                x = (obs_rms["observation"].normalize(prenorm)
+                     if obs_rms is not None else prenorm)
+                return x, prenorm
+            img = obs["image"]
             if obs_rms is not None:
                 img = obs_rms["image"].normalize(img)
             if self.image_encoder == "vae":
@@ -148,6 +159,7 @@ class ActorCritic(nn.Module):
                                        name="actor_resnet")(img)
             else:
                 feat = CNNEncoder(feature_dim=self.image_feature_dim,
+                                  compute_dtype=self.cnn_compute_dtype,
                                   name="actor_cnn")(img)
             prenorm = jnp.concatenate([vec, feat], axis=-1)
             x = (obs_rms["observation"].normalize(prenorm)

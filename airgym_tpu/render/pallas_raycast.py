@@ -39,7 +39,15 @@ from airgym_tpu.render import depth as dr
 
 BIG = dr.BIG
 LANES = 128
-BLOCK_ROWS = 8                     # 8 x 128 rays per grid cell (swept best)
+
+
+def _block_rows(n_prims: int) -> int:
+    """Rays-per-cell block height. The kernel is per-cell-overhead-bound
+    for small scenes (measured ~0.5 us/cell: 4096 envs x 25 cells at 8
+    rows cost 31 ms for a 2-primitive scene vs 14 ms at 64 rows), while
+    big primitive tables favor smaller blocks (planning's 48-record
+    table: 70 ms at 32 rows vs 77 ms at 64). Swept on v5e."""
+    return 64 if n_prims <= 8 else 32
 
 
 def pack_scene(n: int, scene: "dr.SceneForRender",
@@ -109,11 +117,11 @@ def pack_scene(n: int, scene: "dr.SceneForRender",
 
 
 def _kernel(origin_ref, rot_ref, prims_ref, out_ref, *, W, H, tan_h, tan_v,
-            ground, counts):
+            ground, counts, block_rows):
     t_idx = pl.program_id(1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, LANES), 0)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, LANES), 1)
-    idx = (t_idx * BLOCK_ROWS + rows) * LANES + lanes       # flat ray id
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 1)
+    idx = (t_idx * block_rows + rows) * LANES + lanes       # flat ray id
     u = (idx // H).astype(jnp.float32)
     v = (idx % H).astype(jnp.float32)
     in_range = idx < W * H
@@ -135,7 +143,7 @@ def _kernel(origin_ref, rot_ref, prims_ref, out_ref, *, W, H, tan_h, tan_v,
     oy = origin_ref[0, 0, 1]
     oz = origin_ref[0, 0, 2]
 
-    t_eu = jnp.full((BLOCK_ROWS, LANES), BIG, jnp.float32)
+    t_eu = jnp.full((block_rows, LANES), BIG, jnp.float32)
     if ground:
         uz_safe = jnp.where(jnp.abs(uz) < 1e-9, 1e-9, uz)
         tg = (0.0 - oz) / uz_safe
@@ -278,13 +286,15 @@ def _raycast(cfg: dr.CameraCfg, origins, rots, prims, ground: bool,
     n = origins.shape[0]
     W, H = cfg.width, cfg.height
     rays = W * H
-    rays_pad = -(-rays // (BLOCK_ROWS * LANES)) * (BLOCK_ROWS * LANES)
-    n_tiles = rays_pad // (BLOCK_ROWS * LANES)
+    block_rows = _block_rows(prims.shape[1])
+    rays_pad = -(-rays // (block_rows * LANES)) * (block_rows * LANES)
+    n_tiles = rays_pad // (block_rows * LANES)
     tan_h = float(np.tan(np.radians(cfg.horizontal_fov_deg) / 2.0))
     tan_v = tan_h * H / W
 
     kernel = functools.partial(_kernel, W=W, H=H, tan_h=tan_h, tan_v=tan_v,
-                               ground=ground, counts=counts)
+                               ground=ground, counts=counts,
+                               block_rows=block_rows)
     out = pl.pallas_call(
         kernel,
         grid=(n, n_tiles),
@@ -296,11 +306,11 @@ def _raycast(cfg: dr.CameraCfg, origins, rots, prims, ground: bool,
             pl.BlockSpec((1, prims.shape[1], 12), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK_ROWS, LANES),
+        out_specs=pl.BlockSpec((1, block_rows, LANES),
                                lambda i, t: (i, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (n, n_tiles * BLOCK_ROWS, LANES), jnp.float32),
+            (n, n_tiles * block_rows, LANES), jnp.float32),
         interpret=interpret,
     )(origins, rots, prims)
     return out.reshape(n, rays_pad)[:, :rays].reshape(n, W, H)

@@ -28,6 +28,7 @@ reference (a2c_base.py:293-316) has no analogue here by construction.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -213,6 +214,17 @@ class PPO:
         # reset() semantics: zero-action step to get first obs
         env_state, out0 = self.task.step(
             env_state, jnp.zeros((self.num_envs, self.num_actions)))
+        if self.frame_dedup:
+            # phase-align the render cadence to the rollout blocks: with
+            # counter % cam_every == 0 at rollout start, every camera
+            # render lands on the LAST step of a cam_every block, so the
+            # nested rollout scan encodes features exactly once per block
+            # (see rollout()). A few zero-action warmup steps — same
+            # spirit as IsaacGym's sim warmup on reset.
+            for _ in range(self.cam_every - 1):
+                env_state, out0 = self.task.step(
+                    env_state,
+                    jnp.zeros((self.num_envs, self.num_actions)))
         obs = out0.obs
 
         sample = jax.tree.map(lambda x: x[:1], obs)
@@ -257,6 +269,29 @@ class PPO:
 
     # --------------------------------------------------------------- rollout
 
+    def _encode_frames(self, params, obs_rms, imgs):
+        """Apply the model's image-encoder submodule directly to a batch
+        of camera frames -> features [B, feature_dim].
+
+        Same parameters and normalization as ActorCritic.encode's image
+        branch; used by the frame-dedup fast paths to encode each UNIQUE
+        frame once instead of once per (env, step) sample."""
+        if obs_rms is not None:
+            imgs = obs_rms["image"].normalize(imgs)
+        m = self.model
+        if m.image_encoder == "vae":
+            from airgym_tpu.models.vae import VAEEncoder
+            mod, name = VAEEncoder(latent_dim=m.vae_latent_dim), "actor_enc"
+        elif m.image_encoder == "resnet":
+            from airgym_tpu.models.resnet import ResNet18Encoder
+            mod = ResNet18Encoder(output_dim=m.image_feature_dim)
+            name = "actor_resnet"
+        else:
+            mod = ac.CNNEncoder(feature_dim=m.image_feature_dim,
+                                compute_dtype=m.cnn_compute_dtype)
+            name = "actor_cnn"
+        return mod.apply({"params": params["params"][name]}, imgs)
+
     def _policy(self, params, obs_rms, obs, key):
         mu, sigma, value, prenorm = self.model.apply(
             params, obs, obs_rms, return_prenorm=True)
@@ -270,14 +305,30 @@ class PPO:
         dedup = self.frame_dedup
         store_t = jnp.bfloat16 if cfg.compress_image_obs else None
 
-        def step_fn(carry, _):
+        def step_fn(carry, _, render=None):
             (env_state, obs, ep_ret, ep_len, last_ret, last_len, rng,
-             frames, cur) = carry
+             feat) = carry
             rng, k_act = jax.random.split(rng)
+            # frame dedup: the camera only changes every cam_every steps,
+            # so the encoder features are cached in the carry and
+            # recomputed only on render ticks (4x less conv work)
+            obs_pol = obs
+            if dedup:
+                obs_pol = {"observation": obs["observation"],
+                           "features": feat}
             action, nlp, mu, sigma, value, prenorm = self._policy(
-                ts.params, ts.obs_rms, obs, k_act)
+                ts.params, ts.obs_rms, obs_pol, k_act)
             clamped = jnp.clip(action, -1.0, 1.0)
-            env_state, out = self.task.step(env_state, clamped)
+            if render is None:
+                env_state, out = self.task.step(env_state, clamped)
+            else:
+                # STATIC render decision (valid because init() phase-
+                # aligns the cadence): a traced lax.cond inside the
+                # rollout scan executes its render branch every step on
+                # this backend — 4x the render work and the dominant
+                # rollout cost before this was made static
+                env_state, out = self.task.step(env_state, clamped,
+                                                render=render)
 
             # episode stats (reference a2c_base.py:680-695)
             ep_ret = ep_ret + out.reward
@@ -291,25 +342,17 @@ class PPO:
             # store images bfloat16: the CNN consumes bf16 anyway (MXU),
             # and f32 rollout storage doubled the dominant HBM buffer
             store_obs = obs
-            frame_idx = None
             if isinstance(obs, dict):
                 if dedup:
-                    # cameras only change when the global counter hits the
-                    # cadence; record WHICH unique frame this step saw and
-                    # append the newly rendered frame (if any) to `frames`
+                    # unique frames are emitted once per block by the
+                    # outer scan below — nothing image-sized per step.
+                    # Features stay constant through the block (phase
+                    # alignment puts renders on block-final steps); the
+                    # block_fn recomputes them. NOT a lax.cond: on this
+                    # backend a cond inside scan pays the branch cost
+                    # every iteration (measured 64x the 16 real renders).
                     store_obs = {k: v for k, v in obs.items()
                                  if k != "image"}
-                    frame_idx = cur
-                    is_new = (env_state.counter % self.cam_every == 0)
-                    cur = cur + is_new.astype(jnp.int32)
-                    img_new = out.obs["image"]
-                    if store_t is not None:
-                        img_new = img_new.astype(store_t)
-                    frames = jax.lax.cond(
-                        is_new,
-                        lambda fr: jax.lax.dynamic_update_index_in_dim(
-                            fr, img_new, cur, axis=0),
-                        lambda fr: fr, frames)
                 elif cfg.compress_image_obs:
                     store_obs = {**obs,
                                  "image": obs["image"].astype(jnp.bfloat16)}
@@ -317,28 +360,64 @@ class PPO:
                            neglogp=nlp,
                            values=value, mus=mu, sigmas=sigma,
                            rewards=out.reward, dones=out.reset,
-                           timeouts=out.timeout, frame_idx=frame_idx)
+                           timeouts=out.timeout)
             info_means = {k: jnp.mean(v) for k, v in out.info.items()}
             return ((env_state, out.obs, ep_ret, ep_len, last_ret, last_len,
-                     rng, frames, cur), (data, info_means))
+                     rng, feat), (data, info_means))
 
-        frames0, cur0 = None, None
+        feat0 = None
         if dedup:
+            feat0 = self._encode_frames(ts.params, ts.obs_rms,
+                                        ts.obs["image"])
+        carry0 = (ts.env_state, ts.obs, ts.ep_return, ts.ep_length,
+                  ts.last_ep_return, ts.last_ep_length, ts.rng, feat0)
+
+        if dedup:
+            # Nested scan: the outer loop EMITS one camera frame per
+            # cam_every-step block, so the unique-frame buffer is built
+            # by scan's write-only output stacking. (A [F, N, W, H]
+            # dynamic_update_slice carried through the step scan copies
+            # the whole buffer every iteration on this backend — ~11
+            # ms/step at avoid scale, 50x the cost of the write itself.)
+            # init() phase-aligns the counter so each block's single
+            # render lands on its LAST step: the end-of-block camera is
+            # render #(b+1), features are block-constant, and the
+            # per-step frame pointer is floor((c0+h)/ce) - floor(c0/ce)
+            # (= h // ce when aligned).
+            ce = self.cam_every
+            c0 = ts.env_state.counter
+
+            def block_fn(carry, _):
+                carry, ys1 = jax.lax.scan(
+                    functools.partial(step_fn, render=False),
+                    carry, None, length=ce - 1)
+                carry, ys_last = step_fn(carry, None, render=True)
+                ys = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b[None]], axis=0),
+                    ys1, ys_last)
+                img = carry[1]["image"]            # just-rendered frame
+                feat = self._encode_frames(ts.params, ts.obs_rms, img)
+                carry = carry[:-1] + (feat,)       # features for block b+1
+                if store_t is not None:
+                    img = img.astype(store_t)
+                return carry, (ys, img)
+
+            carry, (ys, frames_rest) = jax.lax.scan(
+                block_fn, carry0, None, length=cfg.horizon // ce)
+            traj, infos = jax.tree.map(
+                lambda x: x.reshape((cfg.horizon,) + x.shape[2:]), ys)
             img0 = ts.obs["image"]
             if store_t is not None:
                 img0 = img0.astype(store_t)
-            frames0 = jnp.zeros((self.num_frames,) + img0.shape,
-                                img0.dtype).at[0].set(img0)
-            cur0 = jnp.asarray(0, jnp.int32)
-        carry0 = (ts.env_state, ts.obs, ts.ep_return, ts.ep_length,
-                  ts.last_ep_return, ts.last_ep_length, ts.rng,
-                  frames0, cur0)
-        carry, (traj, infos) = jax.lax.scan(step_fn, carry0, None,
-                                            length=cfg.horizon)
+            frames = jnp.concatenate([img0[None], frames_rest], axis=0)
+            h = jnp.arange(cfg.horizon, dtype=jnp.int32)
+            traj = traj._replace(
+                frames=frames, frame_idx=(c0 + h) // ce - c0 // ce)
+        else:
+            carry, (traj, infos) = jax.lax.scan(step_fn, carry0, None,
+                                                length=cfg.horizon)
         (env_state, obs, ep_ret, ep_len, last_ret, last_len, rng,
-         frames, _) = carry
-        if dedup:
-            traj = traj._replace(frames=frames)
+         _) = carry
 
         # value of the final observation for bootstrapping
         _, _, _, _, last_value, _ = self._policy(
@@ -383,7 +462,16 @@ class PPO:
 
     def _loss_fn(self, params, obs_rms, value_rms, mb):
         cfg = self.cfg
-        mu, sigma, value = self.model.apply(params, mb["obs"], obs_rms)
+        obs = mb["obs"]
+        if isinstance(obs, dict) and "image_unique" in obs:
+            # frame dedup: encode each unique camera frame once, gather
+            # the per-sample features (identical numerics, ~3.5x fewer
+            # conv FLOPs — see update().unique_window)
+            feat_u = self._encode_frames(params, obs_rms,
+                                         obs["image_unique"])
+            obs = {"observation": obs["observation"],
+                   "features": feat_u[obs["feat_index"]]}
+        mu, sigma, value = self.model.apply(params, obs, obs_rms)
         value = value[..., 0]
         logstd = jnp.log(sigma)
         nlp = ac.neglogp(mb["actions"], mu, sigma, logstd)
@@ -476,11 +564,21 @@ class PPO:
 
         H = cfg.horizon
 
-        def gather_frames(k):
-            """Env-major minibatch images out of the dedup frames buffer:
-            flat sample j = n * H + h observes frames[frame_idx[h], n]."""
-            j = k * mb_size + jnp.arange(mb_size)
-            return frames[frame_idx[j % H], j // H]
+        def unique_window(k):
+            """Unique images + per-sample feature pointers for minibatch
+            k. The env-major span [k*mb, (k+1)*mb) touches at most
+            me = ceil(mb/H)+1 consecutive envs; its unique images are the
+            F frames of those envs — [F*me] images for mb samples
+            (~3.5x fewer encoder runs). Sample j = n*H + h points at
+            window image f*me + (n - e0) with f = frame_idx[h]."""
+            me = -(-mb_size // H) + 1
+            start = k * mb_size
+            e0 = jnp.minimum(start // H, self.num_envs - me)
+            win = jax.lax.dynamic_slice_in_dim(frames, e0, me, axis=1)
+            img_u = win.reshape((win.shape[0] * me,) + win.shape[2:])
+            j = start + jnp.arange(mb_size)
+            n_loc = j // H - e0
+            return img_u, frame_idx[j % H] * me + n_loc
 
         def minibatch_step(carry, idx):
             params, opt_state, lr, mus, sigmas = carry
@@ -490,9 +588,11 @@ class PPO:
                 # optimization_barrier: keep the conv's preferred layout
                 # from propagating into the full frames buffer (XLA would
                 # otherwise hoist a relayout copy of all ~GBs of it)
+                img_u, feat_idx = unique_window(idx)
                 mb["obs"] = dict(mb["obs"])
-                mb["obs"]["image"] = jax.lax.optimization_barrier(
-                    gather_frames(idx))
+                mb["obs"]["image_unique"] = jax.lax.optimization_barrier(
+                    img_u)
+                mb["obs"]["feat_index"] = feat_idx
             elif scan_img is not None:
                 mb["obs"] = dict(mb["obs"])
                 mb["obs"]["image"] = jax.lax.optimization_barrier(
@@ -662,7 +762,7 @@ class PPO:
         if donate is None:
             donate = True
         if not donate:
-            return jax.jit(self.train_epoch)
+            return self._check_phase(jax.jit(self.train_epoch))
 
         from jax.experimental.layout import Format, Layout
 
@@ -681,7 +781,31 @@ class PPO:
                                    out_shardings=(in_fmts, None))
             return cache[0](ts)
 
-        return step
+        return self._check_phase(step)
+
+    def _check_phase(self, step_fn):
+        """Frame dedup requires the render cadence phase-aligned to the
+        rollout blocks (init() establishes it; train epochs preserve it
+        because cam_every divides the horizon). Checked once, on the
+        concrete counter between epochs — a misaligned state would make
+        the block-cached policy features silently lag the camera."""
+        if not self.frame_dedup:
+            return step_fn
+        checked = [False]
+
+        def checked_step(ts: TrainState):
+            if not checked[0]:
+                c = int(jax.device_get(ts.env_state.counter))
+                if c % self.cam_every != 0:
+                    raise ValueError(
+                        f"frame-dedup rollout needs env counter ({c}) "
+                        f"aligned to cam_every ({self.cam_every}); "
+                        "initialize the TrainState via PPO.init() or "
+                        "step the env to a multiple of cam_every first")
+                checked[0] = True
+            return step_fn(ts)
+
+        return checked_step
 
     # ------------------------------------------------------------------ play
 

@@ -63,7 +63,16 @@ def main():
 
     t_ro, _ = timeit(rollout_and_prep, ts)
     t_env, _ = timeit(env_only, ts)
-    t_full, _ = timeit(full, ts)
+
+    # the donating epoch consumes its input: rebind, don't reuse
+    ts2, _ = full(ts)
+    jax.block_until_ready(ts2.lr)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        ts2, _ = full(ts2)
+    jax.block_until_ready(ts2.lr)
+    t_full = (time.perf_counter() - t0) / reps
     t_upd = t_full - t_ro
 
     steps = n * horizon

@@ -124,3 +124,54 @@ def test_scan_layout_minibatch_extraction_exact():
     for k in range(H * N // 16):
         got = tr._mb_from_scan_layout(img, jnp.asarray(k), 16)
         assert jnp.array_equal(got, flat[k * 16:(k + 1) * 16])
+
+
+def test_feature_dedup_loss_matches_full_image_path():
+    """Encoding unique frames + gathering features must give the same
+    loss and gradients as running the encoder per sample on the gathered
+    full-image minibatch."""
+    task = envs.make_task("planning", ctl_mode="vel", num_envs=8)
+    # f32 convs for the comparison: in bf16 the conv BIAS grads (100k-term
+    # sums with heavy cancellation) carry accumulation noise larger than
+    # their net value, masking real wiring bugs
+    tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(
+        horizon=8, minibatch_size=16, mini_epochs=1),
+        network_kw={"cnn_compute_dtype": None})
+    ts = tr.init(jax.random.PRNGKey(5))
+    ts = ts._replace(obs=tr._join_obs(ts.obs, ts.env_state))
+    _, traj, _, _ = tr.rollout(ts)
+    H, N, mb = 8, 8, 16
+    me = -(-mb // H) + 1
+
+    k = 2
+    start = k * mb
+    e0 = min(start // H, N - me)
+    win = traj.frames[:, e0:e0 + me]
+    img_u = win.reshape((win.shape[0] * me,) + win.shape[2:])
+    j = start + jnp.arange(mb)
+    feat_idx = traj.frame_idx[j % H] * me + (j // H - e0)
+    naive_img = traj.frames[traj.frame_idx[j % H], j // H]
+
+    obs_vec = jnp.swapaxes(traj.obs["observation"], 0, 1).reshape(
+        N * H, -1)[start:start + mb]
+    mb_common = {
+        "actions": jnp.zeros((mb, tr.num_actions)),
+        "neglogp": jnp.zeros((mb,)), "adv": jnp.ones((mb,)),
+        "values": jnp.zeros((mb,)), "returns": jnp.ones((mb,)),
+        "mus": jnp.zeros((mb, tr.num_actions)),
+        "sigmas": jnp.ones((mb, tr.num_actions)),
+    }
+    mb_dedup = dict(mb_common, obs={
+        "observation": obs_vec, "image_unique": img_u,
+        "feat_index": feat_idx})
+    mb_naive = dict(mb_common, obs={
+        "observation": obs_vec, "image": naive_img})
+
+    def loss(params, mbx):
+        return tr._loss_fn(params, ts.obs_rms, ts.value_rms, mbx)[0]
+
+    (la, ga) = jax.value_and_grad(loss)(ts.params, mb_dedup)
+    (lb, gb) = jax.value_and_grad(loss)(ts.params, mb_naive)
+    assert jnp.allclose(la, lb, rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        assert jnp.allclose(a, b, rtol=1e-4, atol=1e-6)
