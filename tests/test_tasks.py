@@ -158,3 +158,32 @@ def test_planning_vae_encoder_trains():
     ts, m = step(ts)
     assert np.isfinite(float(m["loss"]))
     assert ts.obs_rms["observation"].mean.shape == (16 + 64,)
+
+
+@pytest.mark.parametrize("name", ["avoid", "planning", "customized",
+                                  "maplanning"])
+def test_static_render_flag_matches_dynamic_cadence(name):
+    """step(render=True/False) must equal the render=None lax.cond path
+    step-for-step when the static schedule follows the counter cadence
+    (the contract the frame-dedup rollout relies on)."""
+    kw = {"num_envs": 2} if name != "maplanning" else {"num_envs": 2}
+    task = envs.make_task(name, ctl_mode="vel", **kw)
+    ce = task.cfg.cam_every
+    s_dyn = task.initial_state(jax.random.PRNGKey(11))
+    s_sta = task.initial_state(jax.random.PRNGKey(11))
+    a = jnp.zeros((getattr(task, "flat_n", task.cfg.num_envs),
+                   task.cfg.num_actions))
+    step = jax.jit(task.step)
+    step_r = jax.jit(lambda s, a: task.step(s, a, render=True))
+    step_n = jax.jit(lambda s, a: task.step(s, a, render=False))
+    for i in range(2 * ce):
+        s_dyn, out_d = step(s_dyn, a)
+        render = (int(s_dyn.counter) % ce) == 0
+        s_sta, out_s = (step_r if render else step_n)(s_sta, a)
+        # allclose, not equal: the cond-wrapped render compiles in a
+        # different fusion context than the direct call, giving
+        # ULP-level (~4e-6) float differences on identical math
+        assert jnp.allclose(s_dyn.camera, s_sta.camera,
+                            rtol=1e-5, atol=1e-5), (name, i)
+        for x, y in zip(jax.tree.leaves(out_d), jax.tree.leaves(out_s)):
+            assert jnp.allclose(x, y, rtol=1e-5, atol=1e-5), (name, i)
