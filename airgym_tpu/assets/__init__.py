@@ -99,6 +99,34 @@ registry.register_asset("grounds/ground", AssetSpec(
     name="grounds/ground", asset_type="boundary",
     semantic_id=GROUND_SEMANTIC_ID, geometry="plane"))
 
+# -- remaining reference registrations (assets/__init__.py:133-376) --------
+# group families backed by per-variant geometry tables (family_geometry)
+registry.register_asset("objects", AssetSpec(
+    name="objects", asset_type="group", semantic_id=OBJECT_SEMANTIC_ID,
+    geometry="family"))
+registry.register_asset("cubes", AssetSpec(
+    name="cubes", asset_type="group", semantic_id=CUBE_SEMANTIC_ID,
+    geometry="family"))
+registry.register_asset("balls", AssetSpec(
+    name="balls", asset_type="group", semantic_id=BALL_SEMANTIC_ID,
+    geometry="family"))
+registry.register_asset("flags", AssetSpec(
+    name="flags", asset_type="group", semantic_id=FLAG_SEMANTIC_ID,
+    geometry="family"))
+# textured ground boards (env_assets/grounds/<name>/model.urdf; the .dae
+# node matrix scales a z=0 unit square: 8x18 -> half (4, 9) m, 18x18
+# variants -> (9, 9) m; 'o'/'s' differ only in the obstacle/stripe
+# texture). The analytic backend renders/collides them as the z=0 ground
+# plane; half_extents record the board footprint.
+registry.register_asset("8x18ground", AssetSpec(
+    name="8x18ground", asset_type="single",
+    semantic_id=GROUND_SEMANTIC_ID, geometry="plane",
+    half_extents=(4.0, 9.0, 0.0)))
+for _g in ("18x18ground", "18x18o", "18x18s"):
+    registry.register_asset(_g, AssetSpec(
+        name=_g, asset_type="single", semantic_id=GROUND_SEMANTIC_ID,
+        geometry="plane", half_extents=(9.0, 9.0, 0.0)))
+
 ROBOT_COLLISION_RADIUS = 0.2  # X152b/model.urdf:16
 
 
@@ -208,6 +236,16 @@ def family_geometry(family: str) -> FamilyGeom:
         # them a 1 cm solid thickness so rays/contacts can hit them
         ann[..., 8] = np.maximum(ann[..., 8], 0.01)
         geom = FamilyGeom(cyls=z["cyls"], boxes=z["boxes"], annuli=ann)
+    elif family == "balls":
+        # env_assets/balls: ball (0.2 m collision sphere), ball_no_geom
+        # (radius-0 collision -> no geometry, valid 0), balloon
+        # (ellipsoid_balloon.stl x0.2 = semi-axes (0.14, 0.14, 0.2);
+        # bounded by its 0.2 m z semi-axis like the Balloon task target)
+        sphs = np.zeros((3, 1, 5), np.float32)
+        sphs[0, 0] = (0, 0, 0, 0.2, 1)             # ball
+        sphs[1, 0] = (0, 0, 0, 0.0, 0)             # ball_no_geom
+        sphs[2, 0] = (0, 0, 0, 0.2, 1)             # balloon
+        geom = FamilyGeom(sphs=sphs)
     elif family == "objects":
         t = _load("objects.npy")                   # [5, 8] kind rows
         is_box = t[:, 0] == 0

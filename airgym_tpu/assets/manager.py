@@ -103,11 +103,18 @@ class AssetManager:
                                      maxval=np.pi)
             return xy, yaw
 
+        has_ground_board = False
         for name, count in self.cfg.include_single_asset:
             if count == 0:
                 continue
             key, k = jax.random.split(key)
             spec = areg.registry.get_asset(name)
+            if spec.geometry == "plane":
+                # textured ground boards (8x18ground/18x18*): rendered
+                # and collided as the z=0 ground plane
+                has_ground_board = True
+                root_blocks.append(jnp.zeros((n, count, 3)))
+                continue
             xy, yaw = place(k, count)
             if spec.geometry == "sphere":
                 center = jnp.concatenate(
@@ -160,7 +167,8 @@ class AssetManager:
             spheres=cat(sphs, sc.Spheres),
             boxes=cat(boxes, sc.Boxes),
             annuli=cat(annuli, sc.Annuli),
-            ground=bool(self.cfg.include_boundary) or True)
+            ground=bool(self.cfg.include_boundary) or has_ground_board
+            or True)
 
         if root_blocks:
             pos = jnp.concatenate(root_blocks, axis=1)

@@ -223,3 +223,57 @@ def test_pallas_annulus_matches_xla():
     ref = dr.render_depth(cfg, root, scene)
     pal = render_depth_pallas(cfg, root, scene, interpret=True)
     assert np.allclose(np.asarray(ref), np.asarray(pal), atol=1e-3)
+
+
+def test_registry_full_reference_parity():
+    """Every name the reference registers (assets/__init__.py:16-376)
+    resolves here with the same asset_type and semantic id."""
+    ref = {
+        "X152b": ("robot", 0),
+        "thin": ("group", assets.THIN_SEMANTIC_ID),
+        "trees": ("group", assets.TREE_SEMANTIC_ID),
+        "vtrees": ("group", assets.VTREE_SEMANTIC_ID),
+        "objects": ("group", assets.OBJECT_SEMANTIC_ID),
+        "cubes": ("group", assets.CUBE_SEMANTIC_ID),
+        "balls": ("group", assets.BALL_SEMANTIC_ID),
+        "flags": ("group", assets.FLAG_SEMANTIC_ID),
+        "8x18ground": ("single", assets.GROUND_SEMANTIC_ID),
+        "18x18ground": ("single", assets.GROUND_SEMANTIC_ID),
+        "18x18o": ("single", assets.GROUND_SEMANTIC_ID),
+        "18x18s": ("single", assets.GROUND_SEMANTIC_ID),
+    }
+    for name, (typ, sem) in ref.items():
+        spec = assets.registry.get_asset(name)
+        assert spec.asset_type == typ, name
+        assert spec.semantic_id == sem, name
+    assert assets.registry.get_asset("8x18ground").half_extents[:2] == \
+        (4.0, 9.0)
+
+
+def test_balls_family_places():
+    """balls group family: ball/balloon have 0.2 m spheres,
+    ball_no_geom contributes no valid geometry."""
+    idx = jnp.array([[0, 1, 2]])
+    placed = assets.place_group(
+        "balls", idx, jnp.zeros((1, 3, 2)), jnp.zeros((1, 3)))
+    s = placed.spheres
+    assert s is not None and s.center.shape == (1, 3, 3)
+    np.testing.assert_allclose(np.asarray(s.radius[0]), [0.2, 0.0, 0.2])
+    assert list(np.asarray(s.valid[0])) == [True, False, True]
+
+
+def test_manager_scene_with_ground_board_and_families():
+    """A reference-style include dict mixing a ground board with object/
+    flag group families composes a scene + root states."""
+    from airgym_tpu.assets import manager as am
+    cfg = am.AssetConfig.from_dicts(
+        include_single_asset={"18x18ground": {"num_assets": 1}},
+        include_group_asset={"objects": {"num_assets": 2},
+                             "flags": {"num_assets": 1}})
+    mgr = am.AssetManager(cfg, num_envs=2)
+    scene, states = mgr.sample_scene(jax.random.PRNGKey(0))
+    assert scene.ground
+    assert states.shape[0] == 2 and states.shape[2] == 13
+    # ground board (1) + objects (2) + flags (1) root states per env
+    assert states.shape[1] == 4
+    assert mgr.get_env_asset_count() == 4
