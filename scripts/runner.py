@@ -46,6 +46,12 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
+def resolve_train(args) -> bool:
+    """reference torch_runner.py:95-101: --train wins over --play, and
+    NEITHER flag also trains (the else branch runs run_train)."""
+    return args.train or not args.play
+
+
 def update_config(cfg, args):
     """Merge CLI overrides into the YAML config (reference runner.py:19-44)."""
     c = cfg["params"]["config"]
@@ -70,7 +76,7 @@ def main(argv=None):
     runner = Runner()
     runner.load(cfg)
     run_args = {
-        "train": args.train and not args.play,
+        "train": resolve_train(args),
         "task": args.task,
         "ctl_mode": args.ctl_mode,
         "num_envs": args.num_envs,

@@ -87,3 +87,14 @@ def test_fused_rollout_flag_selects_trainer():
     _, trainer, _ = r._build({"task": "hovering", "ctl_mode": "rate",
                               "num_envs": 48})
     assert not isinstance(trainer, FusedHoveringPPO)
+
+
+def test_train_play_dispatch_matches_reference():
+    """torch_runner.py:95-101: --train -> train; --play -> play; NO flag
+    -> train (the reference's else branch); both -> train wins."""
+    import scripts.runner as sr
+    base = ["--task", "hovering", "--ctl_mode", "rate"]
+    assert sr.resolve_train(sr.get_args(base + ["--train"]))
+    assert not sr.resolve_train(sr.get_args(base + ["--play"]))
+    assert sr.resolve_train(sr.get_args(base))
+    assert sr.resolve_train(sr.get_args(base + ["--train", "--play"]))
