@@ -175,3 +175,23 @@ def test_feature_dedup_loss_matches_full_image_path():
     assert jnp.allclose(la, lb, rtol=1e-6, atol=1e-7)
     for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         assert jnp.allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_frame_dedup_phase_guard_rejects_misaligned_counter():
+    """make_train_epoch's phase check must reject an env counter that is
+    not a multiple of cam_every (the dedup rollout's block alignment
+    contract) and accept an aligned one."""
+    task = envs.make_task("planning", ctl_mode="vel", num_envs=8)
+    tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(
+        horizon=8, minibatch_size=16, mini_epochs=1))
+    ts = tr.init(jax.random.PRNGKey(0))
+    assert int(ts.env_state.counter) % task.cfg.cam_every == 0
+
+    seen = []
+    checked = tr._check_phase(lambda t: seen.append(True))
+    bad = ts._replace(env_state=ts.env_state._replace(
+        counter=ts.env_state.counter + 1))
+    with pytest.raises(ValueError, match="cam_every"):
+        checked(bad)
+    checked(ts)
+    assert seen == [True]
