@@ -543,6 +543,14 @@ class PPO:
         nmb = self.num_minibatches
         mb_size = self.batch_size // nmb
 
+        if cfg.lr_schedule == "linear":
+            # LinearScheduler by epochs (reference schedulers.py:97-119;
+            # kl-independent, so once per epoch equals the reference's
+            # per-minibatch application)
+            mul = jnp.maximum(0.0, 1.0 - ts.epoch / cfg.max_epochs)
+            ts = ts._replace(lr=jnp.maximum(
+                cfg.min_lr, cfg.learning_rate * mul).astype(jnp.float32))
+
         # reshape flat [B, ...] -> [nmb, mb, ...]; the image leaf stays in
         # scan layout [H, N, ...] (see train_epoch) and is extracted per
         # minibatch by _mb_from_scan_layout

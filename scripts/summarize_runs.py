@@ -28,10 +28,14 @@ def downsample(pairs, n=60):
 
 
 def main(run_dirs, out_dir="benchmarks/convergence"):
+    """Each arg is a run dir, optionally as ``run_dir=record_name`` to
+    control the output filename (default: the task name — colliding
+    records overwrite, so name variants explicitly)."""
     os.makedirs(out_dir, exist_ok=True)
     for rd in run_dirs:
+        rd, _, record = rd.partition("=")
         name = os.path.basename(rd.rstrip("/"))
-        task = name.split("_")[1]
+        task = record or name.split("_")[1]
         s = load(rd)
         rec = {"run": name, "task": task}
         for key, tags in [

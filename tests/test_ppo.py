@@ -128,3 +128,22 @@ def test_rms_advantage_option():
         ts, m = step(ts)
     assert np.isfinite(float(m["loss"]))
     assert float(ts.adv_ms.initialized) == 1.0
+
+
+def test_linear_lr_schedule_decays_by_epoch():
+    """lr_schedule: linear must decay the lr linearly over max_epochs
+    (reference LinearScheduler, schedulers.py:97-119)."""
+    task = envs.make_task("hovering", ctl_mode="rate", num_envs=8)
+    tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(
+        horizon=8, minibatch_size=16, mini_epochs=1,
+        lr_schedule="linear", learning_rate=1e-3, max_epochs=10))
+    ts = tr.init(jax.random.PRNGKey(0))
+    step = jax.jit(tr.train_epoch)
+    lrs = []
+    for _ in range(3):
+        ts, m = step(ts)
+        lrs.append(float(m["lr"]))
+    # epoch counter starts at 0: lr_k = 1e-3 * (1 - k/10)
+    assert abs(lrs[0] - 1e-3) < 1e-9
+    assert abs(lrs[1] - 9e-4) < 1e-9
+    assert abs(lrs[2] - 8e-4) < 1e-9
