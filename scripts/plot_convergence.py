@@ -28,7 +28,8 @@ def main(run_dirs, out_png="BENCHMARKS_curves.png"):
         axes = [axes]
     rows = []
     for ax, rd in zip(axes, run_dirs):
-        name = os.path.basename(rd.rstrip("/")).split("_")[1]
+        rd, _, label = rd.partition("=")     # run_dir=panel_label
+        name = label or os.path.basename(rd.rstrip("/")).split("_")[1]
         s = load(rd)
         tag = ("rewards/frame" if "rewards/frame" in s
                else next(t for t in s if t.startswith("rewards")))
