@@ -48,8 +48,8 @@ def bench_env_steps():
         s, rews = jax.lax.scan(body, s, None, length=STEPS_PER_CALL)
         return s, jnp.sum(rews)
 
-    state, _ = run_chunk(state)      # compile
-    jax.block_until_ready(state)
+    state, r = run_chunk(state)      # compile
+    float(r)                         # host fetch = real sync over the tunnel
 
     t0 = time.perf_counter()
     for _ in range(CALLS):
@@ -85,11 +85,14 @@ def bench_training():
     ts = tr.init(jax.random.PRNGKey(0))
     step = tr.make_train_epoch()
 
+    # NOTE: timed regions end with a host fetch (float(...)), not
+    # block_until_ready — the latter does not reliably wait for remote
+    # execution over the axon tunnel and would inflate the numbers.
     t_start = time.perf_counter()
     ts, m = step(ts)
-    jax.block_until_ready(ts.lr)
+    float(m["mean_reward"])
     ts, m = step(ts)
-    jax.block_until_ready(ts.lr)
+    float(m["mean_reward"])
     compile_s = time.perf_counter() - t_start
 
     t0 = time.perf_counter()
@@ -98,9 +101,8 @@ def bench_training():
         ts, m = step(ts)
         if converged_at is None and i % 10 == 0:
             if float(m["mean_ep_length"]) > CONVERGED_EP_LEN:
-                jax.block_until_ready(ts.lr)
                 converged_at = time.perf_counter() - t_start
-    jax.block_until_ready(ts.lr)
+    float(m["mean_reward"])
     train_s = time.perf_counter() - t0
     total_s = time.perf_counter() - t_start
     steps = TRAIN_ENVS * 24 * (TRAIN_EPOCHS - 1)
@@ -128,13 +130,13 @@ def bench_vision_training():
     ts = tr.init(jax.random.PRNGKey(0))
     step = tr.make_train_epoch()
     ts, m = step(ts)
-    jax.block_until_ready(ts.lr)
+    float(m["mean_reward"])
     ts, m = step(ts)
-    jax.block_until_ready(ts.lr)
+    float(m["mean_reward"])
     t0 = time.perf_counter()
     for _ in range(calls):
         ts, m = step(ts)
-    jax.block_until_ready(ts.lr)
+    float(m["mean_reward"])   # host fetch = real sync over the tunnel
     dt = time.perf_counter() - t0
     return round(n * horizon * calls / dt, 1)
 
@@ -153,11 +155,11 @@ def bench_avoid_training():
     ts = tr.init(jax.random.PRNGKey(0))
     step = tr.make_train_epoch()
     ts, m = step(ts)
-    jax.block_until_ready(ts.lr)
+    float(m["mean_reward"])
     t0 = time.perf_counter()
     for _ in range(calls):
         ts, m = step(ts)
-    jax.block_until_ready(ts.lr)
+    float(m["mean_reward"])   # host fetch = real sync over the tunnel
     dt = time.perf_counter() - t0
     return round(n * horizon * calls / dt, 1)
 
