@@ -165,6 +165,8 @@ def bench_avoid_training():
 
 
 def main():
+    from airgym_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     sps = bench_env_steps()
     fused_msps = bench_fused()
     train = bench_training()

@@ -14,6 +14,9 @@ import airgym_tpu.envs as envs
 
 
 def main():
+    from airgym_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     p = argparse.ArgumentParser()
     p.add_argument("--task", default="hovering")
     p.add_argument("--ctl_mode", default="pos")

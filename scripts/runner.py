@@ -65,6 +65,9 @@ def update_config(cfg, args):
 
 
 def main(argv=None):
+    from airgym_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     args = get_args(argv)
     cfg_path = args.file or os.path.join(
         os.path.dirname(__file__), "config", f"ppo_{args.task}.yaml")

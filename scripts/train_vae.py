@@ -54,6 +54,9 @@ def make_batcher(args):
 
 
 def main():
+    from airgym_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch", type=int, default=64)
