@@ -73,6 +73,9 @@ def bench_train(n: int = 4096, epochs: int = 20):
 
 
 def main():
+    from airgym_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     p = argparse.ArgumentParser()
     p.add_argument("--envs", type=int, default=None)
     p.add_argument("--steps", type=int, default=200)
