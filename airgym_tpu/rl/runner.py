@@ -123,6 +123,35 @@ class Runner:
                               network_kw=network_kw_from_params(self.params))
         return task, trainer, seed
 
+    def _maybe_load_pretrained_vae(self, ts):
+        """Graft pretrained frozen VAE weights into the model params when
+        the network YAML has ``vae: {model_folder, model_file}`` — the
+        reference loads ``vae_model.pth`` at VAEImageEncoder construction
+        (vae_image_encoder.py:17-31); here construction is ``trainer.init``
+        so the graft happens right after.  A later ``--checkpoint`` restore
+        overwrites these like the reference's ``set_full_state_weights``
+        (the VAE travels inside the model state dict in both frameworks).
+        Only the encoder subtree is grafted: the RL model never runs the
+        decoder, so flax never materializes its params."""
+        vae_cfg = self.params.get("network", {}).get("vae") or {}
+        model_file = vae_cfg.get("model_file")
+        if not model_file:
+            return ts
+        path = os.path.join(vae_cfg.get("model_folder", "."), model_file)
+        import torch
+        from airgym_tpu.models import vae as vae_mod
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "model_state_dict" in sd:
+            sd = sd["model_state_dict"]
+        imported = vae_mod.import_torch_state_dict(
+            sd, latent_dim=int(vae_cfg.get("latent_dims", 64)))
+        params = jax.tree.map(lambda x: x, ts.params)  # shallow-safe copy
+        for tower in ("actor_enc", "critic_enc"):
+            if tower in params["params"]:
+                params["params"][tower]["vae"]["encoder"] = jax.tree.map(
+                    jnp.asarray, imported["params"]["encoder"])
+        return ts._replace(params=params)
+
     # -- train -------------------------------------------------------------
 
     def run_train(self, args: Dict[str, Any]):
@@ -137,6 +166,7 @@ class Runner:
                   if pmesh.is_main_process() else None)
 
         ts = trainer.init(jax.random.PRNGKey(seed))
+        ts = self._maybe_load_pretrained_vae(ts)
         if args.get("checkpoint"):
             ts = self.restore(trainer, ts, args["checkpoint"])
 
@@ -221,6 +251,7 @@ class Runner:
     def run_play(self, args: Dict[str, Any]):
         task, trainer, seed = self._build(args)
         player = Player(task, trainer)
+        player.ts = self._maybe_load_pretrained_vae(player.ts)
         if args.get("checkpoint"):
             player.restore(args["checkpoint"])
         games = int(self.params.get("config", {}).get(
