@@ -40,12 +40,26 @@ def network_kw_from_params(params: Dict[str, Any]) -> Dict[str, Any]:
         kw["units"] = tuple(mlp["units"])
     if "activation" in mlp:
         kw["activation"] = mlp["activation"]
-    if "cnn" in net:
+    # encoder priority matches the reference model build order
+    # (a2c_continuous_logstd_model.py:26-33: resnet elif cnn elif vae)
+    if "resnet" in net:
+        kw["image_encoder"] = "resnet"
+        kw["image_feature_dim"] = int(net["resnet"].get("output_dim", 30))
+        rtype = net["resnet"].get("type", "resnet18")
+        if rtype != "resnet18":
+            raise ValueError(f"resnet type {rtype!r} unsupported "
+                             "(the reference uses resnet18)")
+    elif "cnn" in net:
         kw["image_encoder"] = "cnn"
         kw["image_feature_dim"] = int(net["cnn"].get("output_dim", 30))
-    if "vae" in net:
+    elif "vae" in net:
         kw["image_encoder"] = "vae"
         kw["vae_latent_dim"] = int(net["vae"].get("latent_dims", 64))
+        if net["vae"].get("return_sampled_latent"):
+            raise NotImplementedError(
+                "return_sampled_latent: True is not supported; the policy "
+                "encoder returns deterministic means like the shipped "
+                "reference configs (return_sampled_latent: False)")
     return kw
 
 
@@ -124,33 +138,65 @@ class Runner:
         return task, trainer, seed
 
     def _maybe_load_pretrained_vae(self, ts):
-        """Graft pretrained frozen VAE weights into the model params when
-        the network YAML has ``vae: {model_folder, model_file}`` — the
-        reference loads ``vae_model.pth`` at VAEImageEncoder construction
+        """Graft pretrained frozen encoder weights into the model params.
+
+        ``vae: {model_folder, model_file}`` — the reference loads
+        ``vae_model.pth`` at VAEImageEncoder construction
         (vae_image_encoder.py:17-31); here construction is ``trainer.init``
-        so the graft happens right after.  A later ``--checkpoint`` restore
-        overwrites these like the reference's ``set_full_state_weights``
-        (the VAE travels inside the model state dict in both frameworks).
-        Only the encoder subtree is grafted: the RL model never runs the
-        decoder, so flax never materializes its params."""
-        vae_cfg = self.params.get("network", {}).get("vae") or {}
-        model_file = vae_cfg.get("model_file")
-        if not model_file:
-            return ts
-        path = os.path.join(vae_cfg.get("model_folder", "."), model_file)
-        import torch
-        from airgym_tpu.models import vae as vae_mod
-        sd = torch.load(path, map_location="cpu", weights_only=False)
-        if isinstance(sd, dict) and "model_state_dict" in sd:
-            sd = sd["model_state_dict"]
-        imported = vae_mod.import_torch_state_dict(
-            sd, latent_dim=int(vae_cfg.get("latent_dims", 64)))
-        params = jax.tree.map(lambda x: x, ts.params)  # shallow-safe copy
-        for tower in ("actor_enc", "critic_enc"):
-            if tower in params["params"]:
-                params["params"][tower]["vae"]["encoder"] = jax.tree.map(
-                    jnp.asarray, imported["params"]["encoder"])
-        return ts._replace(params=params)
+        so the graft happens right after.  Only the encoder subtree is
+        grafted: the RL model never runs the decoder, so flax never
+        materializes its params.
+
+        ``resnet: {model_file}`` — the reference constructs a pretrained
+        torchvision resnet18 (lib/network/resnet.py:5-24); air-gapped
+        hosts pass the torchvision weights file here instead.
+
+        A later ``--checkpoint`` restore overwrites these like the
+        reference's ``set_full_state_weights`` (the encoder travels inside
+        the model state dict in both frameworks)."""
+        net = self.params.get("network", {})
+        vae_cfg = net.get("vae") or {}
+        resnet_cfg = net.get("resnet") or {}
+
+        def load_sd(cfg):
+            import torch
+            path = os.path.join(cfg.get("model_folder", "."),
+                                cfg["model_file"])
+            sd = torch.load(path, map_location="cpu", weights_only=False)
+            if isinstance(sd, dict) and "model_state_dict" in sd:
+                sd = sd["model_state_dict"]
+            return sd
+
+        if vae_cfg.get("model_file"):
+            from airgym_tpu.models import vae as vae_mod
+            imported = vae_mod.import_torch_state_dict(
+                load_sd(vae_cfg),
+                latent_dim=int(vae_cfg.get("latent_dims", 64)))
+            params = jax.tree.map(lambda x: x, ts.params)  # fresh containers
+            for tower in ("actor_enc", "critic_enc"):
+                if tower in params["params"]:
+                    params["params"][tower]["vae"]["encoder"] = jax.tree.map(
+                        jnp.asarray, imported["params"]["encoder"])
+            return ts._replace(params=params)
+
+        if resnet_cfg.get("model_file"):
+            # torchvision resnet18 weights file (the reference downloads
+            # pretrained=True; air-gapped hosts supply the file instead)
+            from airgym_tpu.models import resnet as resnet_mod
+            imported = resnet_mod.import_torchvision_state_dict(
+                load_sd(resnet_cfg),
+                output_dim=int(resnet_cfg.get("output_dim", 30)))
+            params = jax.tree.map(lambda x: x, ts.params)
+            for tower in ("actor_resnet", "critic_resnet"):
+                if tower in params["params"]:
+                    fc = params["params"][tower]["fc"]   # keep model's init
+                    grafted = dict(jax.tree.map(jnp.asarray,
+                                                imported["params"]))
+                    grafted["fc"] = fc
+                    params["params"][tower] = grafted
+            return ts._replace(params=params)
+
+        return ts
 
     # -- train -------------------------------------------------------------
 

@@ -72,6 +72,69 @@ def test_runner_grafts_pretrained_vae(tmp_path):
     assert np.isfinite(np.asarray(mu)).all()
 
 
+def test_encoder_priority_and_guards():
+    """Reference model build order resnet > cnn > vae
+    (a2c_continuous_logstd_model.py:26-33); return_sampled_latent and
+    non-resnet18 types are rejected loudly."""
+    from airgym_tpu.rl import runner as rmod
+
+    kw = rmod.network_kw_from_params(
+        {"network": {"resnet": {"type": "resnet18", "output_dim": 12},
+                     "cnn": {"output_dim": 30},
+                     "vae": {"latent_dims": 64}}})
+    assert kw["image_encoder"] == "resnet"
+    assert kw["image_feature_dim"] == 12
+
+    kw = rmod.network_kw_from_params(
+        {"network": {"cnn": {"output_dim": 30}, "vae": {"latent_dims": 64}}})
+    assert kw["image_encoder"] == "cnn"
+
+    with pytest.raises(NotImplementedError):
+        rmod.network_kw_from_params(
+            {"network": {"vae": {"latent_dims": 64,
+                                 "return_sampled_latent": True}}})
+    with pytest.raises(ValueError):
+        rmod.network_kw_from_params(
+            {"network": {"resnet": {"type": "resnet50"}}})
+
+
+def test_runner_grafts_pretrained_resnet(tmp_path):
+    torch = pytest.importorskip("torch")
+    from airgym_tpu.rl.runner import Runner
+    import airgym_tpu.envs as envs
+    from airgym_tpu.rl import ppo as ppo_mod
+    from airgym_tpu.rl import runner as rmod
+    from tests.test_resnet import _torch_resnet18
+
+    net = _torch_resnet18()
+    pth = str(tmp_path / "resnet18.pth")
+    torch.save(net.state_dict(), pth)
+
+    params_yaml = {
+        "network": {"mlp": {"units": [32], "activation": "elu"},
+                    "resnet": {"type": "resnet18", "output_dim": 16,
+                               "model_folder": str(tmp_path),
+                               "model_file": "resnet18.pth"}},
+        "config": {},
+    }
+    runner = Runner().load({"params": params_yaml})
+    task = envs.make_task("planning", ctl_mode="rate", num_envs=4)
+    trainer = ppo_mod.PPO(task, ppo_mod.PPOConfig(horizon=4,
+                                                  minibatch_size=8),
+                          network_kw=rmod.network_kw_from_params(params_yaml))
+    ts = trainer.init(jax.random.PRNGKey(0))
+
+    ts2 = runner._maybe_load_pretrained_vae(ts)
+    got = ts2.params["params"]["actor_resnet"]["conv1"]["kernel"]
+    want = np.transpose(np.asarray(net.state_dict()["conv1.weight"]),
+                        (2, 3, 1, 0)).sum(axis=2, keepdims=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+    # fc head keeps the model's own fresh init
+    np.testing.assert_array_equal(
+        np.asarray(ts.params["params"]["actor_resnet"]["fc"]["kernel"]),
+        np.asarray(ts2.params["params"]["actor_resnet"]["fc"]["kernel"]))
+
+
 def test_no_vae_block_is_noop():
     from airgym_tpu.rl.runner import Runner
     import airgym_tpu.envs as envs
