@@ -304,7 +304,8 @@ class Runner:
             "player", {}).get("games_num", 10))
         record_dir = args.get("record_dir")
         return player.run(max_steps=int(args.get("max_steps", 1000)),
-                          seed=seed, record_dir=record_dir)
+                          seed=seed, record_dir=record_dir,
+                          games_num=games)
 
     def run(self, args: Dict[str, Any]):
         if args.get("train"):
@@ -345,11 +346,14 @@ class Player:
 
     def run(self, max_steps: int = 1000, seed: int = 0,
             chunk: int = 100, record_dir: Optional[str] = None,
-            record_envs: int = 4):
+            record_envs: int = 4, games_num: int = 10 ** 9):
         """Evaluate; when record_dir is set, dump headless episode
         visualization (trajectory panels + depth gif — replaces the
         reference viewer/cv2 debug, base_task.py:116-141,
-        customized.py:429-432)."""
+        customized.py:429-432).  Stops early once ``games_num`` episodes
+        have finished (the reference player's n_games loop,
+        players.py:204-290, adapted to the batched evaluator: episodes
+        are counted across all envs via reset flags)."""
         ts = self.ts
         env_state = self.task.initial_state(jax.random.PRNGKey(seed))
         n_rows = getattr(self.task, "flat_n", self.task.cfg.num_envs)
@@ -375,9 +379,13 @@ class Player:
                                                    length=chunk))
         recs = []
         carry = (env_state, obs)
+        done_games = 0
         for _ in range(max(1, max_steps // chunk)):
             carry, r = run_chunk(carry)
             recs.append(jax.tree.map(np.asarray, r))
+            done_games += int(recs[-1]["reset"].sum())
+            if done_games >= games_num:
+                break
         rec = {k: np.concatenate([r[k] for r in recs], 0) for k in recs[0]}
         rewards, resets = rec["reward"], rec["reset"]
         games = max(1, int(resets.sum()))

@@ -98,3 +98,22 @@ def test_train_play_dispatch_matches_reference():
     assert not sr.resolve_train(sr.get_args(base + ["--play"]))
     assert sr.resolve_train(sr.get_args(base))
     assert sr.resolve_train(sr.get_args(base + ["--train", "--play"]))
+
+
+def test_player_games_num_early_stop():
+    """Reference players.py:204-290 plays n_games episodes then stops;
+    the batched evaluator counts episode completions via reset flags and
+    stops at the chunk boundary after reaching games_num."""
+    import airgym_tpu.envs as envs
+    from airgym_tpu.rl import ppo as ppo_mod
+    from airgym_tpu.rl.runner import Player
+
+    task = envs.make_task("hovering", ctl_mode="rate", num_envs=8)
+    trainer = ppo_mod.PPO(task, ppo_mod.PPOConfig(horizon=4,
+                                                  minibatch_size=16))
+    player = Player(task, trainer)
+    # random policy crashes fast: with chunk=50 the first chunks already
+    # complete episodes, so games_num=1 must stop well before 1000 steps
+    out = player.run(max_steps=1000, seed=0, chunk=50, games_num=1)
+    assert out["games"] >= 1
+    assert out["steps"] < 1000
