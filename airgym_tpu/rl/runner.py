@@ -121,8 +121,23 @@ class Runner:
         # per-process seed offset (reference torch_runner.py:44)
         seed += jax.process_index()
 
+        # YAML config.env_config kwargs flow to env construction like the
+        # reference (a2c_base.py:134-139 -> create_vec_env(**env_config)).
+        # 'seed' is the run seed the reference injects (torch_runner.py:61-66)
+        # -- here it already flows via PRNGKey(seed); 'use_image' only shapes
+        # the synthesized obs space in the reference vecenv (vecenv.py:72,93)
+        # and must agree with the task's own obs structure.
+        env_kw = dict(cfg.get("env_config", {}) or {})
+        env_kw.pop("seed", None)
+        use_image = env_kw.pop("use_image", None)
         task = envs.make_task(task_name, ctl_mode=ctl_mode,
-                              num_envs=num_envs)
+                              num_envs=num_envs, **env_kw)
+        if use_image is not None and bool(use_image) != bool(
+                getattr(task, "obs_is_dict", False)):
+            raise ValueError(
+                f"env_config.use_image={use_image} contradicts task "
+                f"{task_name!r} (obs_is_dict="
+                f"{getattr(task, 'obs_is_dict', False)})")
         trainer_cls = ppo_mod.PPO
         # opt-in fused policy+env rollout kernel (config: use_fused_rollout)
         if (cfg.get("use_fused_rollout") and ctl_mode == "rate"

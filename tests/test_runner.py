@@ -117,3 +117,27 @@ def test_player_games_num_early_stop():
     out = player.run(max_steps=1000, seed=0, chunk=50, games_num=1)
     assert out["games"] >= 1
     assert out["steps"] < 1000
+
+
+def test_env_config_passthrough_and_use_image_check():
+    """YAML config.env_config kwargs reach env construction like the
+    reference (a2c_base.py:134-139 create_vec_env(**env_config));
+    use_image must agree with the task's obs structure (vecenv.py:72,93)."""
+    from airgym_tpu.rl.runner import Runner
+    cfg = tiny_cfg()
+    cfg["params"]["config"]["env_config"] = {
+        "use_image": False, "seed": 5, "episode_length_s": 12.0}
+    task, _, _ = Runner().load(cfg)._build(
+        {"task": "hovering", "ctl_mode": "rate", "num_envs": 16})
+    assert task.cfg.episode_length_s == 12.0
+
+    cfg["params"]["config"]["env_config"] = {"use_image": True}
+    with pytest.raises(ValueError, match="use_image"):
+        Runner().load(cfg)._build(
+            {"task": "hovering", "ctl_mode": "rate", "num_envs": 16})
+
+    # unknown env kwargs fail loudly, not silently
+    cfg["params"]["config"]["env_config"] = {"no_such_field": 1}
+    with pytest.raises(TypeError):
+        Runner().load(cfg)._build(
+            {"task": "hovering", "ctl_mode": "rate", "num_envs": 16})
