@@ -126,6 +126,8 @@ class ActorCritic(nn.Module):
     image_feature_dim: int = 30
     vae_latent_dim: int = 64
     cnn_compute_dtype: Any = jnp.bfloat16    # None -> full f32 convs
+    separate: bool = False                   # network.separate (model :38-50)
+    fixed_sigma: bool = True                 # space.continuous.fixed_sigma
 
     def encode(self, obs, obs_rms=None):
         """-> (mlp input after normalization, pre-normalization vector).
@@ -172,15 +174,39 @@ class ActorCritic(nn.Module):
     @nn.compact
     def __call__(self, obs, obs_rms=None, return_prenorm: bool = False):
         x, prenorm = self.encode(obs, obs_rms)
-        x = MLP(self.units, self.activation, name="actor_mlp")(x)
+        a_out = MLP(self.units, self.activation, name="actor_mlp")(x)
+        if self.separate:
+            # separate: True builds a twin critic trunk on the same
+            # normalized input (reference model :38-50,85-100).  The
+            # reference's separate+vision branch crashes on undefined
+            # locals (model :89-95 `normed_a_out`) so only vector obs are
+            # supported, like the reference in practice.
+            if self.image_encoder is not None or isinstance(obs, dict):
+                raise ValueError(
+                    "separate: True with image observations is not "
+                    "supported (the reference's own branch is broken, "
+                    "a2c_continuous_logstd_model.py:85-95)")
+            c_out = MLP(self.units, self.activation, name="critic_mlp")(x)
+        else:
+            c_out = a_out
         mu = nn.Dense(self.num_actions, kernel_init=scaled_init(0.1),
-                      name="mu")(x)
-        value = nn.Dense(1, kernel_init=scaled_init(0.1), name="value")(x)
-        # fixed_sigma: global parameter, init 0 (sigma_init val 0,
-        # ppo_hovering.yaml:18-20; reference model :57-59)
-        logstd = self.param("logstd", nn.initializers.zeros,
-                            (self.num_actions,))
-        sigma = jnp.exp(logstd) * jnp.ones_like(mu)
+                      name="mu")(a_out)
+        value = nn.Dense(1, kernel_init=scaled_init(0.1),
+                         name="value")(c_out)
+        if self.fixed_sigma:
+            # global state-independent parameter, init 0 (sigma_init val 0,
+            # ppo_hovering.yaml:18-20; reference model :57-59)
+            logstd = self.param("logstd", nn.initializers.zeros,
+                                (self.num_actions,))
+            sigma = jnp.exp(logstd) * jnp.ones_like(mu)
+        else:
+            # fixed_sigma: False -> state-dependent linear logstd head,
+            # weight zero-init (reference model :60-62; bias also zeroed
+            # here so sigma starts at exactly 1 like the fixed case)
+            logstd = nn.Dense(self.num_actions,
+                              kernel_init=nn.initializers.zeros,
+                              name="logstd_head")(a_out)
+            sigma = jnp.exp(logstd)
         if return_prenorm:
             return mu, sigma, value, prenorm
         return mu, sigma, value

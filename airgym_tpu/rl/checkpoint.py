@@ -75,11 +75,11 @@ def load(path: str):
 # torch .pth bridge
 
 
-def _mlp_to_torch(mlp_params, out):
+def _mlp_to_torch(mlp_params, out, prefix="actor_mlp"):
     for i in range(len(mlp_params)):
         d = mlp_params[f"Dense_{i}"]
-        out[f"actor_mlp.layers.{i}.weight"] = np.asarray(d["kernel"]).T
-        out[f"actor_mlp.layers.{i}.bias"] = np.asarray(d["bias"])
+        out[f"{prefix}.layers.{i}.weight"] = np.asarray(d["kernel"]).T
+        out[f"{prefix}.layers.{i}.bias"] = np.asarray(d["bias"])
 
 
 def _cnn_to_torch(cnn, out):
@@ -113,10 +113,18 @@ def _rms_to_torch(rms, prefix, out):
 def model_state_dict(params, obs_rms=None, value_rms=None) -> Dict[str, Any]:
     """flax ActorCritic params (+ running stats) -> reference model dict."""
     p = params["params"]
-    out: Dict[str, Any] = {"logstd": np.asarray(p["logstd"])}
+    out: Dict[str, Any] = {}
+    if "logstd" in p:
+        out["logstd"] = np.asarray(p["logstd"])
+    else:
+        # fixed_sigma: False -> linear logstd head (reference model :60-62)
+        out["logstd.weight"] = np.asarray(p["logstd_head"]["kernel"]).T
+        out["logstd.bias"] = np.asarray(p["logstd_head"]["bias"])
     if "actor_cnn" in p:
         _cnn_to_torch(p["actor_cnn"], out)
     _mlp_to_torch(p["actor_mlp"], out)
+    if "critic_mlp" in p:     # separate: True (reference model :38-50)
+        _mlp_to_torch(p["critic_mlp"], out, prefix="critic_mlp")
     out["mu.weight"] = np.asarray(p["mu"]["kernel"]).T
     out["mu.bias"] = np.asarray(p["mu"]["bias"])
     out["value_head.weight"] = np.asarray(p["value"]["kernel"]).T
@@ -156,10 +164,10 @@ def export_pth(path: str, train_state, last_mean_rewards: float = -1e9,
     safe_filesystem_op(torch.save, state, path)
 
 
-def _torch_mlp_to_flax(sd, n_layers):
+def _torch_mlp_to_flax(sd, n_layers, prefix="actor_mlp"):
     return {f"Dense_{i}": {
-        "kernel": np.asarray(sd[f"actor_mlp.layers.{i}.weight"]).T,
-        "bias": np.asarray(sd[f"actor_mlp.layers.{i}.bias"])}
+        "kernel": np.asarray(sd[f"{prefix}.layers.{i}.weight"]).T,
+        "bias": np.asarray(sd[f"{prefix}.layers.{i}.bias"])}
         for i in range(n_layers)}
 
 
@@ -225,7 +233,15 @@ def import_pth(path: str, params_template, obs_rms_template=None,
     p["actor_mlp"] = new_mlp
     if want_cnn and have_cnn:
         p["actor_cnn"] = _torch_cnn_to_flax(sd)
-    p["logstd"] = np.asarray(sd["logstd"])
+    if "critic_mlp" in p and "critic_mlp.layers.0.weight" in sd:
+        p["critic_mlp"] = _torch_mlp_to_flax(sd, len(p["critic_mlp"]),
+                                             prefix="critic_mlp")
+    if "logstd_head" in p:
+        # fixed_sigma: False checkpoints carry a linear logstd head
+        p["logstd_head"] = {"kernel": np.asarray(sd["logstd.weight"]).T,
+                            "bias": np.asarray(sd["logstd.bias"])}
+    else:
+        p["logstd"] = np.asarray(sd["logstd"])
     p["mu"] = {"kernel": np.asarray(sd["mu.weight"]).T,
                "bias": np.asarray(sd["mu.bias"])}
     p["value"] = {"kernel": np.asarray(sd["value_head.weight"]).T,

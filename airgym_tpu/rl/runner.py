@@ -40,6 +40,11 @@ def network_kw_from_params(params: Dict[str, Any]) -> Dict[str, Any]:
         kw["units"] = tuple(mlp["units"])
     if "activation" in mlp:
         kw["activation"] = mlp["activation"]
+    if net.get("separate"):
+        kw["separate"] = True
+    space = net.get("space", {}).get("continuous", {})
+    if "fixed_sigma" in space and not space["fixed_sigma"]:
+        kw["fixed_sigma"] = False
     # encoder priority matches the reference model build order
     # (a2c_continuous_logstd_model.py:26-33: resnet elif cnn elif vae)
     if "resnet" in net:
@@ -139,9 +144,13 @@ class Runner:
                 f"{task_name!r} (obs_is_dict="
                 f"{getattr(task, 'obs_is_dict', False)})")
         trainer_cls = ppo_mod.PPO
+        network_kw = network_kw_from_params(self.params)
         # opt-in fused policy+env rollout kernel (config: use_fused_rollout)
+        # -- hand-written for the default shared-trunk fixed-sigma model
         if (cfg.get("use_fused_rollout") and ctl_mode == "rate"
-                and num_envs % 1024 == 0):
+                and num_envs % 1024 == 0
+                and not network_kw.get("separate")
+                and network_kw.get("fixed_sigma", True)):
             from airgym_tpu.rl import fused_ppo
             trainer_cls = {
                 "hovering": fused_ppo.FusedHoveringPPO,
@@ -149,7 +158,7 @@ class Runner:
                 "tracking": fused_ppo.FusedTrackingPPO,
             }.get(task_name, ppo_mod.PPO)
         trainer = trainer_cls(task, ppo_config_from_params(self.params),
-                              network_kw=network_kw_from_params(self.params))
+                              network_kw=network_kw)
         return task, trainer, seed
 
     def _maybe_load_pretrained_vae(self, ts):

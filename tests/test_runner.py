@@ -141,3 +141,47 @@ def test_env_config_passthrough_and_use_image_check():
     with pytest.raises(TypeError):
         Runner().load(cfg)._build(
             {"task": "hovering", "ctl_mode": "rate", "num_envs": 16})
+
+
+def test_separate_and_nonfixed_sigma(tmp_path):
+    """network.separate (reference model :38-50) and
+    space.continuous.fixed_sigma: False (:60-62) train and round-trip
+    through the .pth bridge with the reference key layout."""
+    import torch
+    from airgym_tpu.rl import runner as rmod
+    cfg = tiny_cfg()
+    net = cfg["params"]["network"]
+    net["separate"] = True
+    net["space"]["continuous"]["fixed_sigma"] = False
+    kw = rmod.network_kw_from_params(cfg["params"])
+    assert kw["separate"] is True and kw["fixed_sigma"] is False
+
+    runner = rmod.Runner().load(cfg)
+    ts, result = runner.run({"train": True, "task": "hovering",
+                             "ctl_mode": "rate", "num_envs": 16,
+                             "seed": 3, "run_root": str(tmp_path)})
+    assert result["epochs"] == 3
+    pth = os.path.join(result["run_dir"], "nn", "last_ppo_hovering.pth")
+    sd = torch.load(pth, map_location="cpu", weights_only=False)["model"]
+    assert "critic_mlp.layers.0.weight" in sd
+    assert "logstd.weight" in sd and "logstd.bias" in sd
+    assert "logstd" not in sd
+    # same-architecture reload through the torch bridge
+    out = rmod.Runner().load(cfg).run(
+        {"train": False, "task": "hovering", "ctl_mode": "rate",
+         "num_envs": 8, "checkpoint": pth, "max_steps": 100, "seed": 0})
+    assert np.isfinite(out["mean_reward"])
+
+
+def test_separate_vision_rejected():
+    """The reference's separate+vision branch is broken (model :85-95);
+    we refuse it loudly instead."""
+    import airgym_tpu.envs as envs
+    from airgym_tpu.rl import ppo as ppo_mod
+    task = envs.make_task("planning", ctl_mode="rate", num_envs=4)
+    trainer = ppo_mod.PPO(task, ppo_mod.PPOConfig(horizon=4,
+                                                  minibatch_size=8),
+                          network_kw={"image_encoder": "cnn",
+                                      "separate": True})
+    with pytest.raises(ValueError, match="separate"):
+        trainer.init(jax.random.PRNGKey(0))
