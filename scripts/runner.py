@@ -33,6 +33,9 @@ def get_args(argv=None):
     p.add_argument("--num_envs", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--experiment_name", default=None,
+                   help="overrides config.name (run-dir prefix), reference "
+                        "runner.py:24-25")
     p.add_argument("--headless", action="store_true",
                    help="accepted for reference-CLI compatibility; the TPU "
                         "backend has no viewer")
@@ -57,6 +60,8 @@ def update_config(cfg, args):
     c = cfg["params"]["config"]
     if args.task:
         c["env_name"] = args.task
+    if args.experiment_name:
+        c["name"] = args.experiment_name
     if args.num_envs:
         c["num_actors"] = args.num_envs
     if args.seed is not None:

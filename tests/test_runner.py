@@ -185,3 +185,12 @@ def test_separate_vision_rejected():
                                       "separate": True})
     with pytest.raises(ValueError, match="separate"):
         trainer.init(jax.random.PRNGKey(0))
+
+
+def test_experiment_name_overrides_run_name():
+    """reference runner.py:24-25: --experiment_name -> config.name."""
+    import scripts.runner as sr
+    args = sr.get_args(["--task", "hovering", "--ctl_mode", "rate",
+                        "--experiment_name", "myexp"])
+    cfg = sr.update_config(tiny_cfg(), args)
+    assert cfg["params"]["config"]["name"] == "myexp"
