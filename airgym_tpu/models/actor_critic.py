@@ -75,6 +75,49 @@ class FrozenBatchNorm(nn.Module):
         return (x - mean) * scale * jax.lax.rsqrt(var + 1e-5) + bias
 
 
+class _SpaceToDepthConv0(nn.Module):
+    """The first conv (5x5, stride 2, C_in=1) in space-to-depth form.
+
+    XLA's backward pass for a stride-2 conv with a SINGLE input channel
+    computes the [5,5,1,16] filter gradient as a giant elementwise
+    multiply+reduce over the [B,106,60,16] activation (traced: 2.4 ms of
+    a 3.8 ms vision minibatch step was conv0 fwd+bwd at B=609). Folding
+    2x2 input blocks into 4 channels turns it into an equivalent 3x3
+    stride-1 conv whose filter gradient XLA lowers as an MXU contraction:
+      out[i,j,o] = sum_{di,dj<5} x_pad[2i+di, 2j+dj] w[di,dj,o]
+                 = sum_{a,b<3, p,q<2} s2d[i+a, j+b, 2p+q] w[2a+p, 2b+q, o]
+    The parameter keeps the reference's exact [5,5,1,16] shape/name
+    (checkpoint .pth round-trip unaffected); the rearranged [3,3,4,16]
+    weight is built in-graph from it, so gradients flow back through the
+    (zero-padded) scatter. Numerics match the direct conv up to bf16
+    summation order."""
+    features: int = 16
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, H, W, 1], H and W even
+        b, h, w_, _ = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (5, 5, 1, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        wk = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))  # [6,6,1,F]
+        wk = wk.reshape(3, 2, 3, 2, self.features)              # a,p,b,q,F
+        wk = wk.transpose(0, 2, 1, 3, 4).reshape(3, 3, 4, self.features)
+        xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+        s = xp.reshape(b, h // 2 + 2, 2, w_ // 2 + 2, 2)
+        s = s.transpose(0, 1, 3, 2, 4).reshape(
+            b, h // 2 + 2, w_ // 2 + 2, 4)
+        if self.compute_dtype is not None:
+            wk = wk.astype(self.compute_dtype)
+            bias = bias.astype(self.compute_dtype)
+        y = jax.lax.conv_general_dilated(
+            s, wk, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias
+
+
 class CNNEncoder(nn.Module):
     """Depth-image feature extractor, layer-for-layer the reference
     CNNFeatureExtractor (lib/network/cnn.py:3-34): conv(16,5,s2) -> ReLU
@@ -84,7 +127,9 @@ class CNNEncoder(nn.Module):
 
     Convolutions compute in bf16 on the MXU by default (+33% measured
     vision-PPO throughput); parameters stay f32 so checkpoints are
-    unaffected. Pass compute_dtype=None for full f32.
+    unaffected. Pass compute_dtype=None for full f32. The first conv runs
+    in space-to-depth form for even input dims (see _SpaceToDepthConv0) —
+    same parameters, same math, much cheaper backward pass.
     """
     feature_dim: int = 30
     compute_dtype: Any = jnp.bfloat16
@@ -95,10 +140,16 @@ class CNNEncoder(nn.Module):
         x = jnp.transpose(x, (0, 2, 3, 1))
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)
+        s2d_ok = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
         for i, (ch, k) in enumerate([(16, 5), (32, 3), (64, 3)]):
-            x = nn.Conv(ch, (k, k), strides=(2, 2),
-                        padding=((k // 2, k // 2), (k // 2, k // 2)),
-                        dtype=self.compute_dtype, name=f"conv{i}")(x)
+            if i == 0 and s2d_ok:
+                x = _SpaceToDepthConv0(
+                    features=ch, compute_dtype=self.compute_dtype,
+                    name="conv0")(x)
+            else:
+                x = nn.Conv(ch, (k, k), strides=(2, 2),
+                            padding=((k // 2, k // 2), (k // 2, k // 2)),
+                            dtype=self.compute_dtype, name=f"conv{i}")(x)
             x = nn.relu(x)
             x = FrozenBatchNorm(ch, name=f"bn{i}")(x)
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))   # avg pool, f32

@@ -65,3 +65,51 @@ def test_pack_scene_layout():
     np.testing.assert_allclose(np.array(table[:, 5, 0]), 0.0)  # invalid
     np.testing.assert_allclose(np.array(table[:, 6, 0]), 2.0)  # sphere
     np.testing.assert_allclose(np.array(table[:, 7, 0]), 3.0)  # box
+
+
+def test_pallas_culling_stress():
+    """Frustum-culling stress: primitives behind the camera, far off to
+    the sides, straddling wedge boundaries, plus annuli — under several
+    camera orientations the kernel must still agree with the XLA
+    renderer exactly (culling may only skip provably unhittable work)."""
+    n = 4
+    rng = np.random.default_rng(3)
+    t = 24
+    pos = rng.uniform(-6.0, 6.0, size=(n, t, 2))   # all around the camera
+    cyl = sc.Cylinders(
+        center=jnp.asarray(np.concatenate(
+            [pos, np.full((n, t, 1), 1.2)], axis=-1), jnp.float32),
+        axis=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (n, t, 3)),
+        half_len=jnp.full((n, t), 1.2),
+        radius=jnp.full((n, t), 0.25),
+        valid=jnp.ones((n, t), bool))
+    sph_pos = rng.uniform(-5.0, 5.0, size=(n, 3, 3))
+    sph_pos[..., 2] = np.abs(sph_pos[..., 2])
+    sph = sc.Spheres(center=jnp.asarray(sph_pos, jnp.float32),
+                     radius=jnp.full((n, 3), 0.5),
+                     valid=jnp.ones((n, 3), bool))
+    box = sc.Boxes(
+        center=jnp.asarray(rng.uniform(-4, 4, size=(n, 2, 3)), jnp.float32),
+        yaw=jnp.asarray(rng.uniform(0, 6.3, size=(n, 2)), jnp.float32),
+        half_extents=jnp.full((n, 2, 3), 0.4),
+        valid=jnp.ones((n, 2), bool))
+    ann = sc.Annuli(
+        center=jnp.asarray([[[2.5, 0.0, 1.5]]] * n, jnp.float32),
+        normal=jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), (n, 1, 3)),
+        r_in=jnp.full((n, 1), 0.6), r_out=jnp.full((n, 1), 1.2),
+        half_thick=jnp.full((n, 1), 0.05),
+        valid=jnp.ones((n, 1), bool))
+    scene = dr.SceneForRender(cylinders=cyl, spheres=sph, boxes=box,
+                              annuli=ann, ground=True)
+    # camera yaws 0, 90, 180, 270 degrees — prims land in every wedge
+    # relation (ahead / beside / behind)
+    root = jnp.zeros((n, 13)).at[:, 6].set(1.0).at[:, 2].set(1.5)
+    for i, yaw in enumerate([0.0, np.pi / 2, np.pi, -np.pi / 2]):
+        root = root.at[i, 3:7].set(
+            jnp.array([0.0, 0.0, np.sin(yaw / 2), np.cos(yaw / 2)]))
+    a = np.array(dr.render_depth(SMALL_CAM, root, scene))
+    b = np.array(pr.render_depth_pallas(SMALL_CAM, root, scene,
+                                        interpret=True))
+    ac, bc = np.minimum(a, 10.0), np.minimum(b, 10.0)
+    close = np.abs(ac - bc) < 1e-2
+    assert close.mean() > 0.995, close.mean()
