@@ -25,8 +25,13 @@ import airgym_tpu.envs as envs
 from airgym_tpu.rl import ppo as ppo_mod
 
 NUM_ENVS = 8192
-STEPS_PER_CALL = 200
-CALLS = 5
+# long scan chunks + few calls: per-dispatch RTT over the axon tunnel is
+# 5-30 ms, which at 200-step chunks (43 ms each) put +-15% run-to-run
+# noise on the headline number AND swallowed ~2/3 of the true device
+# throughput (observed 34.0-43.2M across rounds vs a reproducible
+# 114.9M at 2000-step chunks)
+STEPS_PER_CALL = 2000
+CALLS = 3
 TARGET = 10_000_000.0  # env steps/s (BASELINE.json, v5e-8)
 TRAIN_ENVS = 4096
 TRAIN_EPOCHS = 200
@@ -117,6 +122,29 @@ def bench_training():
     }
 
 
+def bench_fused_training():
+    """PPO with the policy+env rollout fused into one Pallas kernel
+    (rl/fused_ppo.FusedHoveringPPO) — the framework's fast path for
+    state-based training. Same losses/updates as the standard trainer;
+    only the data-collection phase differs (ops/fused_rollout.py)."""
+    from airgym_tpu.rl.fused_ppo import FusedHoveringPPO
+    epochs = 20
+    task = envs.make_task("hovering", ctl_mode="rate", num_envs=TRAIN_ENVS)
+    tr = FusedHoveringPPO(task, ppo_mod.PPOConfig())
+    ts = tr.init(jax.random.PRNGKey(0))
+    step = tr.make_train_epoch()
+    ts, m = step(ts)
+    float(m["mean_reward"])
+    ts, m = step(ts)
+    float(m["mean_reward"])
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        ts, m = step(ts)
+    float(m["mean_reward"])   # host fetch = real sync over the tunnel
+    dt = time.perf_counter() - t0
+    return round(TRAIN_ENVS * 24 * epochs / dt, 1)
+
+
 def bench_vision_training():
     """Planning (depth camera + CNN) PPO at the reference's full scale
     (ppo_planning.yaml: 4096 actors, minibatch 2048, 5 mini-epochs) —
@@ -170,6 +198,7 @@ def main():
     sps = bench_env_steps()
     fused_msps = bench_fused()
     train = bench_training()
+    fused_train_sps = bench_fused_training()
     vision_sps = bench_vision_training()
     avoid_sps = bench_avoid_training()
     out = {
@@ -181,6 +210,7 @@ def main():
     }
     out.update(train)
     out["fused_kernel_env_steps_per_sec_131072envs"] = fused_msps * 1e6
+    out["hovering_fused_train_env_steps_per_sec"] = fused_train_sps
     out["planning_cnn_train_env_steps_per_sec_4096envs"] = vision_sps
     out["avoid_cnn_train_env_steps_per_sec_4096envs_h64"] = avoid_sps
     print(json.dumps(out))

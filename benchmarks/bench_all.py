@@ -78,7 +78,11 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--envs", type=int, default=None)
-    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--steps", type=int, default=None,
+                   help="scan-chunk length; default 2000 for state tasks"
+                        " / 200 for vision — short chunks are dispatch-"
+                        "RTT-bound over the axon tunnel and under-report"
+                        " fast tasks by up to 3x")
     p.add_argument("--only", default=None)
     args = p.parse_args()
 
@@ -87,8 +91,9 @@ def main():
         if args.only and name != args.only:
             continue
         n = args.envs or default_n
+        steps = args.steps or (200 if name in VISION_TASKS else 2000)
         try:
-            print(json.dumps(bench_env(name, n, steps=args.steps)),
+            print(json.dumps(bench_env(name, n, steps=steps)),
                   flush=True)
         except Exception as e:          # pragma: no cover
             print(json.dumps({"bench": name, "error": str(e)[:200]}),
