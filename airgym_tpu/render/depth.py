@@ -185,15 +185,22 @@ def postprocess(cfg: CameraCfg, depth: jnp.ndarray, key) -> jnp.ndarray:
     return out[0][:, None]                         # [N, 1, W, H]
 
 
-def render_depth_auto(cfg: CameraCfg, root_states, scene) -> jnp.ndarray:
+def render_depth_auto(cfg: CameraCfg, root_states, scene,
+                      cull_far_z=None) -> jnp.ndarray:
     """Fused Pallas ray cast on TPU (9x faster, see
-    render/pallas_raycast.py), XLA fallback elsewhere (tests run on CPU)."""
+    render/pallas_raycast.py), XLA fallback elsewhere (tests run on CPU).
+
+    cull_far_z: opt-in per-env primitive culling, exact for images that
+    are subsequently clipped at this z (see render_depth_pallas). Applied
+    on the Pallas path only — the XLA fallback is the uncull'd oracle."""
     if jax.default_backend() == "tpu":
         from airgym_tpu.render.pallas_raycast import render_depth_pallas
         return render_depth_pallas(cfg, root_states, scene,
-                                   interpret=False)
+                                   interpret=False, cull_far_z=cull_far_z)
     return render_depth(cfg, root_states, scene)
 
 
 def render_and_process(cfg: CameraCfg, root_states, scene, key):
-    return postprocess(cfg, render_depth_auto(cfg, root_states, scene), key)
+    # postprocess clips at cfg.depth_clamp, so culling at that z is exact
+    return postprocess(cfg, render_depth_auto(
+        cfg, root_states, scene, cull_far_z=cfg.depth_clamp), key)

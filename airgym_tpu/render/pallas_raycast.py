@@ -41,12 +41,17 @@ BIG = dr.BIG
 LANES = 128
 
 
-def _block_rows(n_prims: int) -> int:
+def _block_rows(n_prims: int, guarded: bool = False) -> int:
     """Rays-per-cell block height. The kernel is per-cell-overhead-bound
     for small scenes (measured ~0.5 us/cell: 4096 envs x 25 cells at 8
     rows cost 31 ms for a 2-primitive scene vs 14 ms at 64 rows), while
     big primitive tables favor smaller blocks (planning's 48-record
-    table: 70 ms at 32 rows vs 77 ms at 64). Swept on v5e."""
+    table: 70 ms at 32 rows vs 77 ms at 64). With cull guards the balance
+    flips back — fewer, bigger tiles amortize the per-group branch +
+    scratch roundtrip (38.2 vs 41.1 ms culled mid-corridor). Swept on
+    v5e."""
+    if guarded:
+        return 64
     return 64 if n_prims <= 8 else 32
 
 
@@ -116,8 +121,91 @@ def pack_scene(n: int, scene: "dr.SceneForRender",
     return table, counts
 
 
-def _kernel(origin_ref, rot_ref, prims_ref, out_ref, *, W, H, tan_h, tan_v,
-            ground, counts, block_rows):
+def _corner_tan(cfg: "dr.CameraCfg") -> float:
+    """tan of the cone half-angle that bounds every ray (image corner)."""
+    tan_h = float(np.tan(np.radians(cfg.horizontal_fov_deg) / 2.0))
+    tan_v = tan_h * cfg.height / cfg.width
+    return float(np.hypot(tan_h, tan_v))
+
+
+GROUP = 8  # records per pl.when guard (see _kernel)
+
+
+def cull_and_compact(table: jnp.ndarray, counts: tuple, origin: jnp.ndarray,
+                     forward: jnp.ndarray, far_z: float,
+                     corner_tan: float):
+    """Per-env visibility cull + in-segment compaction of the packed
+    primitive table -> (table, per-kind survivor counts [N, 4] int32).
+
+    A record cannot contribute to the POST-CLAMP depth image when either
+    (a) its bounding sphere lies outside the cone that contains every
+    camera ray (apex at the origin, axis ``forward``, half-angle =
+    image-corner angle), or (b) every point of it projects beyond
+    ``far_z`` along ``forward`` (z-depth is the forward projection, and
+    ``postprocess`` clips at cfg.depth_clamp — so hits past it are
+    indistinguishable from misses). Survivors are compacted to the front
+    of their kind segment so the kernel can skip whole GROUP-sized
+    record blocks past the count. Culled-but-real records left inside a
+    live group are harmless to compute — the cull condition proves their
+    contribution is clipped away — so the kernel guards groups, not
+    records (per-record pl.when + a scratch roundtrip measured 3.5x
+    SLOWER than the unguarded pure-value chain; per-group guards keep
+    the chain in registers).
+    """
+    n = table.shape[0]
+    cos_t = 1.0 / float(np.sqrt(1.0 + corner_tan * corner_tan))
+    sin_t = corner_tan * cos_t
+
+    c = table[..., 1:4]
+    d = c - origin[:, None, :]
+    dp = jnp.einsum("npk,nk->np", d, forward)
+    dq = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1) - dp * dp, 0.0))
+
+    # conservative bounding radius per record, by (static) kind segment
+    n_cyl, n_sph, n_box, n_ann = counts
+    rbs = []
+    if n_cyl:
+        seg = table[:, :n_cyl]
+        rbs.append(jnp.sqrt(seg[..., 7] ** 2 + seg[..., 8] ** 2))
+    if n_sph:
+        seg = table[:, n_cyl:n_cyl + n_sph]
+        rbs.append(seg[..., 8])
+    if n_box:
+        seg = table[:, n_cyl + n_sph:n_cyl + n_sph + n_box]
+        rbs.append(jnp.linalg.norm(seg[..., 9:12], axis=-1))
+    if n_ann:
+        seg = table[:, n_cyl + n_sph + n_box:n_cyl + n_sph + n_box + n_ann]
+        rbs.append(jnp.sqrt(seg[..., 8 + 1] ** 2 + seg[..., 7] ** 2))
+    pad = table.shape[1] - (n_cyl + n_sph + n_box + n_ann)
+    if pad:
+        rbs.append(jnp.zeros((n, pad), table.dtype))
+    rb = jnp.concatenate(rbs, axis=1)
+
+    vis = ((dq * cos_t - dp * sin_t <= rb)
+           & (dp - rb <= far_z)
+           & (table[..., 0] > 0.0))
+
+    segments = []
+    p0 = 0
+    dyn = []
+    for cnt in counts:
+        if cnt == 0:
+            dyn.append(jnp.zeros((n,), jnp.int32))
+            continue
+        v = vis[:, p0:p0 + cnt]
+        order = jnp.argsort(jnp.logical_not(v), axis=1, stable=True)
+        segments.append(jnp.take_along_axis(
+            table[:, p0:p0 + cnt], order[..., None], axis=1))
+        dyn.append(jnp.sum(v, axis=1).astype(jnp.int32))
+        p0 += cnt
+    if table.shape[1] > p0:
+        segments.append(table[:, p0:])
+    out = jnp.concatenate(segments, axis=1) if segments else table
+    return out, jnp.stack(dyn, axis=1)
+
+
+def _kernel(origin_ref, rot_ref, prims_ref, counts_ref, out_ref, acc_ref,
+            *, W, H, tan_h, tan_v, ground, counts, block_rows, guarded):
     t_idx = pl.program_id(1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 1)
@@ -260,33 +348,51 @@ def _kernel(origin_ref, rot_ref, prims_ref, out_ref, *, W, H, tan_h, tan_v,
         return jnp.minimum(t_eu, jnp.where(hit & (valid > 0.0), t_p, BIG))
 
     # static unroll: all primitive loads become static VMEM scalar reads
-    # (a traced fori_loop index forces slow per-element dynamic gathers)
+    # (a traced fori_loop index forces slow per-element dynamic gathers).
     n_cyl, n_sph, n_box, n_ann = counts
+    if not guarded:
+        # no culling: one pure-value min-chain, accumulator lives in
+        # vector registers end to end (the fastest shape when every
+        # record must run — 65.7 ms vs 79.9+ for any guarded variant)
+        p = 0
+        for seg_n, kind in [(n_cyl, 1), (n_sph, 2), (n_box, 3),
+                            (n_ann, 4)]:
+            for _ in range(seg_n):
+                t_eu = body(p, kind, t_eu)
+                p += 1
+        out_ref[0, :, :] = jnp.where(in_range, t_eu * inv_norm, BIG)
+        return
+    # culled: records run in GROUP-sized blocks as pure-value min-chains;
+    # each block is guarded by ONE pl.when on the per-env survivor count
+    # from cull_and_compact (survivors are a segment prefix). Guarding
+    # individual records instead (scalar branch + scratch roundtrip per
+    # record) measured 3.5x SLOWER than no culling at all; per-group
+    # guards cost ~30% unculled and win 1.7x once culling bites.
+    acc_ref[:, :] = t_eu
     p = 0
-    for _ in range(n_cyl):
-        t_eu = body(p, 1, t_eu)
-        p += 1
-    for _ in range(n_sph):
-        t_eu = body(p, 2, t_eu)
-        p += 1
-    for _ in range(n_box):
-        t_eu = body(p, 3, t_eu)
-        p += 1
-    for _ in range(n_ann):
-        t_eu = body(p, 4, t_eu)
-        p += 1
+    for slot, (seg_n, kind) in enumerate(
+            [(n_cyl, 1), (n_sph, 2), (n_box, 3), (n_ann, 4)]):
+        for g0 in range(0, seg_n, GROUP):
+            @pl.when(g0 < counts_ref[0, 0, slot])
+            def _(p=p, g=min(GROUP, seg_n - g0), kind=kind):
+                t = acc_ref[:, :]
+                for k in range(g):
+                    t = body(p + k, kind, t)
+                acc_ref[:, :] = t
+            p += min(GROUP, seg_n - g0)
     # perpendicular z-depth = t_euclid * inv_norm (camera dir has x == 1)
-    out_ref[0, :, :] = jnp.where(in_range, t_eu * inv_norm, BIG)
+    out_ref[0, :, :] = jnp.where(in_range, acc_ref[:, :] * inv_norm, BIG)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "ground", "interpret",
-                                             "counts"))
-def _raycast(cfg: dr.CameraCfg, origins, rots, prims, ground: bool,
-             interpret: bool, counts: tuple):
+                                             "counts", "guarded"))
+def _raycast(cfg: dr.CameraCfg, origins, rots, prims, counts_dyn,
+             ground: bool, interpret: bool, counts: tuple,
+             guarded: bool = False):
     n = origins.shape[0]
     W, H = cfg.width, cfg.height
     rays = W * H
-    block_rows = _block_rows(prims.shape[1])
+    block_rows = _block_rows(prims.shape[1], guarded)
     rays_pad = -(-rays // (block_rows * LANES)) * (block_rows * LANES)
     n_tiles = rays_pad // (block_rows * LANES)
     tan_h = float(np.tan(np.radians(cfg.horizontal_fov_deg) / 2.0))
@@ -294,7 +400,7 @@ def _raycast(cfg: dr.CameraCfg, origins, rots, prims, ground: bool,
 
     kernel = functools.partial(_kernel, W=W, H=H, tan_h=tan_h, tan_v=tan_v,
                                ground=ground, counts=counts,
-                               block_rows=block_rows)
+                               block_rows=block_rows, guarded=guarded)
     out = pl.pallas_call(
         kernel,
         grid=(n, n_tiles),
@@ -305,21 +411,33 @@ def _raycast(cfg: dr.CameraCfg, origins, rots, prims, ground: bool,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, prims.shape[1], 12), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, block_rows, LANES),
                                lambda i, t: (i, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
             (n, n_tiles * block_rows, LANES), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_rows, LANES), jnp.float32)],
         interpret=interpret,
-    )(origins, rots, prims)
+    )(origins, rots, prims, counts_dyn[:, None, :])
     return out.reshape(n, rays_pad)[:, :rays].reshape(n, W, H)
 
 
 def render_depth_pallas(cfg: dr.CameraCfg, root_states: jnp.ndarray,
                         scene: "dr.SceneForRender",
-                        interpret: Optional[bool] = None) -> jnp.ndarray:
-    """Drop-in replacement for render/depth.render_depth."""
+                        interpret: Optional[bool] = None,
+                        cull_far_z: Optional[float] = None) -> jnp.ndarray:
+    """Drop-in replacement for render/depth.render_depth.
+
+    cull_far_z: if set, primitives that provably cannot affect the depth
+    image CLIPPED at this z value (outside the all-rays cone, or entirely
+    beyond it along the camera forward axis) are skipped per env — exact
+    for the postprocessed image when cull_far_z >= cfg.depth_clamp, but
+    raw depths past it may differ (hit -> miss). None = no culling,
+    bit-identical to render_depth.
+    """
     from airgym_tpu.math import rotations as rot
 
     if interpret is None:
@@ -330,8 +448,21 @@ def render_depth_pallas(cfg: dr.CameraCfg, root_states: jnp.ndarray,
     rots = jnp.pad(m, ((0, 0), (0, 7))).astype(jnp.float32)[:, None, :]
     origin = root_states[:, 0:3] + rot.quat_rotate(
         q, jnp.asarray(cfg.mount_pos, root_states.dtype))
+    prims, counts = pack_scene(n, scene)
+    if cull_far_z is not None and prims.shape[1] <= 16:
+        # tiny tables have at most 1-2 guard groups: the prepass +
+        # branches cost more than the skippable casts
+        cull_far_z = None
+    if cull_far_z is not None:
+        forward = m[:, [0, 3, 6]].astype(jnp.float32)   # world camera +x
+        prims, counts_dyn = cull_and_compact(
+            prims, counts, origin.astype(jnp.float32), forward,
+            float(cull_far_z), _corner_tan(cfg))
+    else:
+        counts_dyn = jnp.broadcast_to(
+            jnp.asarray(counts, jnp.int32)[None], (n, 4))
     origins = jnp.pad(origin, ((0, 0), (0, 5))).astype(
         jnp.float32)[:, None, :]
-    prims, counts = pack_scene(n, scene)
-    return _raycast(cfg, origins, rots, prims, bool(scene.ground),
-                    bool(interpret), counts)
+    return _raycast(cfg, origins, rots, prims, counts_dyn,
+                    bool(scene.ground), bool(interpret), counts,
+                    guarded=cull_far_z is not None)

@@ -113,3 +113,67 @@ def test_pallas_culling_stress():
     ac, bc = np.minimum(a, 10.0), np.minimum(b, 10.0)
     close = np.abs(ac - bc) < 1e-2
     assert close.mean() > 0.995, close.mean()
+
+
+def make_spread_scene(n=2):
+    """Scene with primitives inside and far outside the view frustum:
+    behind the camera, beyond the clamp distance, and visible."""
+    t = 5
+    centers = jnp.broadcast_to(jnp.array([
+        [2.0, 0.5, 1.2],      # visible ahead
+        [-6.0, 0.0, 1.2],     # behind the camera
+        [30.0, 0.0, 1.2],     # far beyond any clamp
+        [2.5, -0.8, 1.0],     # visible ahead
+        [0.0, 25.0, 1.2],     # far off to the side
+    ]), (n, t, 3))
+    cyl = sc.Cylinders(
+        center=centers,
+        axis=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (n, t, 3)),
+        half_len=jnp.full((n, t), 1.2),
+        radius=jnp.full((n, t), 0.25),
+        valid=jnp.ones((n, t), bool))
+    sph = sc.Spheres(
+        center=jnp.broadcast_to(jnp.array([[3.0, 0.0, 1.0],
+                                           [-9.0, 2.0, 1.0]]), (n, 2, 3)),
+        radius=jnp.full((n, 2), 0.4),
+        valid=jnp.ones((n, 2), bool))
+    return dr.SceneForRender(cylinders=cyl, spheres=sph, ground=True)
+
+
+def test_culled_render_matches_unculled_after_clip():
+    """cull_far_z is exact for the clip(depth, 0, far_z) image: survivors
+    compacted per env, skipped records provably past the clamp or outside
+    the all-rays cone."""
+    scene = make_spread_scene()
+    root = roots()
+    far = 4.5
+    a = np.array(pr.render_depth_pallas(SMALL_CAM, root, scene,
+                                        interpret=True))
+    b = np.array(pr.render_depth_pallas(SMALL_CAM, root, scene,
+                                        interpret=True, cull_far_z=far))
+    np.testing.assert_allclose(np.minimum(a, far), np.minimum(b, far),
+                               atol=0.0)
+
+
+def test_cull_compaction_drops_invisible():
+    scene = make_spread_scene()
+    root = roots()
+    table, counts = pr.pack_scene(2, scene)
+    from airgym_tpu.math import rotations as rot
+    q = root[:, 3:7]
+    m = rot.quat_to_matrix(q).reshape(2, 9)
+    origin = root[:, 0:3] + rot.quat_rotate(
+        q, jnp.asarray(SMALL_CAM.mount_pos, root.dtype))
+    compacted, dyn = pr.cull_and_compact(
+        table, counts, origin.astype(jnp.float32),
+        m[:, [0, 3, 6]].astype(jnp.float32), 4.5,
+        pr._corner_tan(SMALL_CAM))
+    dyn = np.asarray(dyn)
+    # env 0 looks straight down +x: of the 5 cylinders only the two ahead
+    # survive; of the 2 spheres only the one ahead
+    np.testing.assert_array_equal(dyn[0], [2, 1, 0, 0])
+    # compaction puts the survivors first: both lead cylinder records and
+    # the lead sphere record sit ahead of the camera (x > 0)
+    c = np.asarray(compacted)
+    assert (c[0, :2, 1] > 0).all(), c[0, :2, 1]
+    assert c[0, 5, 1] > 0, c[0, 5, 1]
