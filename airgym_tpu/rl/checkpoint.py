@@ -197,8 +197,9 @@ def _torch_rms(sd, prefix, template: RunningMeanStd) -> RunningMeanStd:
                          jnp.float32),
         var=jnp.asarray(np.asarray(sd[f"{prefix}.running_var"]),
                         jnp.float32),
-        count=jnp.asarray(float(np.asarray(sd[f"{prefix}.count"])),
-                          jnp.float32))
+        count=jnp.asarray(
+            float(np.asarray(sd[f"{prefix}.count"]).reshape(-1)[0]),
+            jnp.float32))
 
 
 def import_pth(path: str, params_template, obs_rms_template=None,
