@@ -72,7 +72,13 @@ class FrozenBatchNorm(nn.Module):
         var = self.param("var", nn.initializers.ones, (self.features,))
         mean = jax.lax.stop_gradient(mean)
         var = jax.lax.stop_gradient(var)
-        return (x - mean) * scale * jax.lax.rsqrt(var + 1e-5) + bias
+        # fold to one multiply-add, computed at the feature-vector level
+        # in f32 then applied in x's dtype — a naive (x - mean) * ... in
+        # f32 silently promotes the whole bf16 activation (2x the HBM
+        # traffic of the conv stack's dominant tensors)
+        eff_scale = scale * jax.lax.rsqrt(var + 1e-5)
+        eff_bias = bias - mean * eff_scale
+        return x * eff_scale.astype(x.dtype) + eff_bias.astype(x.dtype)
 
 
 class _SpaceToDepthConv0(nn.Module):
