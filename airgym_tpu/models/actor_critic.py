@@ -65,7 +65,7 @@ class FrozenBatchNorm(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x=None):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("mean", nn.initializers.zeros, (self.features,))
@@ -78,6 +78,10 @@ class FrozenBatchNorm(nn.Module):
         # traffic of the conv stack's dominant tensors)
         eff_scale = scale * jax.lax.rsqrt(var + 1e-5)
         eff_bias = bias - mean * eff_scale
+        if x is None:
+            # fused-kernel path: hand the folded madd to the caller
+            # (ops/fused_cnn applies it inside the Pallas stack)
+            return eff_scale, eff_bias
         return x * eff_scale.astype(x.dtype) + eff_bias.astype(x.dtype)
 
 
@@ -147,9 +151,8 @@ class _FoldedConv0(nn.Module):
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_matrix: bool = False):
         # x: [B, H, W, 1], H and W divisible by 4
-        b, h, w_, _ = x.shape
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (5, 5, 1, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
@@ -165,6 +168,12 @@ class _FoldedConv0(nn.Module):
         w4 = jnp.stack(cols, axis=-2)
         w4 = w4.reshape(4, 4, 4, 4 * self.features)
         bias4 = jnp.tile(bias, (4,))
+        if return_matrix:
+            # fused-kernel path: [64, 4F] im2col matrix, rows ordered
+            # (cell_a, cell_b, s2d_channel) to match
+            # ops/fused_cnn.build_x0_planes
+            return w4.reshape(4 * 4 * 4, 4 * self.features), bias4
+        b, h, w_, _ = x.shape
         xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
         s = xp.reshape(b, h // 2 + 2, 2, w_ // 2 + 2, 2)
         s = s.transpose(0, 1, 3, 2, 4).reshape(
@@ -194,7 +203,7 @@ class _CellConv1(nn.Module):
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_matrix: bool = False):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, self.in_features, self.features),
                             jnp.float32)
@@ -205,6 +214,11 @@ class _CellConv1(nn.Module):
         w = w[:, :, jnp.array([[0, 1], [2, 3]])]       # [a, p, b, q, Cin, F]
         w = w.transpose(0, 2, 1, 3, 4, 5).reshape(
             2, 2, 4 * self.in_features, self.features)
+        if return_matrix:
+            # fused-kernel path: [4*4Cin, F] im2col matrix, rows ordered
+            # (cell_a, cell_b, folded_channel)
+            return (w.reshape(4 * 4 * self.in_features, self.features),
+                    bias)
         if self.compute_dtype is not None:
             w = w.astype(self.compute_dtype)
             bias = bias.astype(self.compute_dtype)
@@ -213,6 +227,21 @@ class _CellConv1(nn.Module):
             x, w, (1, 1), ((1, 0), (1, 0)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return y + bias
+
+
+class _RawConvParams(nn.Module):
+    """Parameter twin of nn.Conv (same names/shapes/inits) that only
+    hands out the raw kernel/bias — used by the fused-kernel path so the
+    parameter tree stays identical to the XLA path's nn.Conv."""
+    kernel_shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            self.kernel_shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.kernel_shape[-1],), jnp.float32)
+        return kernel, bias
 
 
 class CNNEncoder(nn.Module):
@@ -230,6 +259,10 @@ class CNNEncoder(nn.Module):
     """
     feature_dim: int = 30
     compute_dtype: Any = jnp.bfloat16
+    # 'auto': fused Pallas stack on TPU, XLA elsewhere.  'pallas' /
+    # 'pallas_interpret' force the fused kernel (the latter in Pallas
+    # interpret mode, for CPU parity tests); 'xla' forces the XLA path.
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -239,6 +272,30 @@ class CNNEncoder(nn.Module):
             x = x.astype(self.compute_dtype)
         folded = x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
         s2d_ok = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        use_pallas = folded and (
+            self.impl in ("pallas", "pallas_interpret")
+            or (self.impl == "auto" and jax.default_backend() == "tpu"))
+        if use_pallas:
+            # one Pallas megakernel for the whole conv stack: activations
+            # never leave VMEM (ops/fused_cnn.py).  Identical parameters
+            # and layer math as the folded XLA path below.
+            from airgym_tpu.ops import fused_cnn
+            w0, b0 = _FoldedConv0(features=16, name="conv0")(
+                None, return_matrix=True)
+            s0_16, t0_16 = FrozenBatchNorm(16, name="bn0")()
+            w1, b1 = _CellConv1(features=32, in_features=16,
+                                name="conv1")(None, return_matrix=True)
+            s1, t1 = FrozenBatchNorm(32, name="bn1")()
+            k2, b2 = _RawConvParams((3, 3, 32, 64), name="conv2")()
+            s2, t2 = FrozenBatchNorm(64, name="bn2")()
+            ws = {"w0": w0, "b0": b0,
+                  "s0": jnp.tile(s0_16, (4,)), "t0": jnp.tile(t0_16, (4,)),
+                  "w1": w1, "b1": b1, "s1": s1, "t1": t1,
+                  "w2": k2.reshape(9 * 32, 64), "b2": b2,
+                  "s2": s2, "t2": t2}
+            pooled = fused_cnn.encode_pooled(
+                x, ws, interpret=self.impl == "pallas_interpret")
+            return nn.Dense(self.feature_dim, name="fc")(pooled)
         if folded:
             # conv0 with 2x2 output pixels packed into MXU lanes; conv1
             # consumes the folded layout directly (see _FoldedConv0 /
@@ -298,6 +355,7 @@ class ActorCritic(nn.Module):
     image_feature_dim: int = 30
     vae_latent_dim: int = 64
     cnn_compute_dtype: Any = jnp.bfloat16    # None -> full f32 convs
+    cnn_impl: str = "auto"                   # see CNNEncoder.impl
     separate: bool = False                   # network.separate (model :38-50)
     fixed_sigma: bool = True                 # space.continuous.fixed_sigma
 
@@ -334,6 +392,7 @@ class ActorCritic(nn.Module):
             else:
                 feat = CNNEncoder(feature_dim=self.image_feature_dim,
                                   compute_dtype=self.cnn_compute_dtype,
+                                  impl=self.cnn_impl,
                                   name="actor_cnn")(img)
             prenorm = jnp.concatenate([vec, feat], axis=-1)
             x = (obs_rms["observation"].normalize(prenorm)

@@ -288,7 +288,8 @@ class PPO:
             name = "actor_resnet"
         else:
             mod = ac.CNNEncoder(feature_dim=m.image_feature_dim,
-                                compute_dtype=m.cnn_compute_dtype)
+                                compute_dtype=m.cnn_compute_dtype,
+                                impl=getattr(m, "cnn_impl", "auto"))
             name = "actor_cnn"
         return mod.apply({"params": params["params"][name]}, imgs)
 

@@ -1,0 +1,112 @@
+"""Parity tests for the fused Pallas CNN-encoder stack (ops/fused_cnn.py)
+against the XLA folded path — same parameters, same math.
+
+Run in Pallas interpret mode on CPU (conftest forces the CPU backend).
+The f32 comparisons pin exact layer math (summation-order differences
+only); a bf16 smoke run checks the production dtype end-to-end.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from airgym_tpu.models.actor_critic import CNNEncoder
+
+B, H, W = 3, 212, 120
+
+
+def _make(impl, dtype):
+    return CNNEncoder(feature_dim=30, compute_dtype=dtype, impl=impl)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(7)
+    img = jax.random.normal(key, (B, 1, H, W), jnp.float32)
+    params = _make("xla", None).init(jax.random.PRNGKey(1), img)
+    # non-trivial BN statistics so eff scale/bias really test the fold
+    p = jax.tree_util.tree_map(lambda a: a, params)  # shallow copy ok
+    for i, ch in enumerate((16, 32, 64)):
+        bn = dict(p["params"][f"bn{i}"])
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(10 + i), 4)
+        bn["mean"] = 0.3 * jax.random.normal(k1, (ch,))
+        bn["var"] = jnp.exp(0.5 * jax.random.normal(k2, (ch,)))
+        bn["scale"] = 1.0 + 0.2 * jax.random.normal(k3, (ch,))
+        bn["bias"] = 0.2 * jax.random.normal(k4, (ch,))
+        p["params"][f"bn{i}"] = bn
+    return img, p
+
+
+def test_forward_parity_f32(setup):
+    img, params = setup
+    ref = _make("xla", None).apply(params, img)
+    out = _make("pallas_interpret", None).apply(params, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_grad_parity_f32(setup):
+    img, params = setup
+    probe = jax.random.normal(jax.random.PRNGKey(3), (B, 30))
+
+    def loss(p, impl):
+        return jnp.sum(_make(impl, None).apply(p, img) * probe)
+
+    g_ref = jax.grad(lambda p: loss(p, "xla"))(params)
+    g_out = jax.grad(lambda p: loss(p, "pallas_interpret"))(params)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_out = {jax.tree_util.keystr(k): v
+                for k, v in jax.tree_util.tree_leaves_with_path(g_out)}
+    for k, vref in flat_ref:
+        name = jax.tree_util.keystr(k)
+        vout = flat_out[name]
+        scale = max(float(jnp.max(jnp.abs(vref))), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(vout), np.asarray(vref),
+            rtol=5e-4, atol=5e-4 * scale, err_msg=name)
+    # BN running stats stay frozen through the fused path too
+    for i in range(3):
+        assert float(jnp.abs(g_out["params"][f"bn{i}"]["mean"]).max()) == 0
+        assert float(jnp.abs(g_out["params"][f"bn{i}"]["var"]).max()) == 0
+
+
+def test_forward_parity_bf16(setup):
+    img, params = setup
+    ref = _make("xla", jnp.bfloat16).apply(params, img)
+    out = _make("pallas_interpret", jnp.bfloat16).apply(params, img)
+    # bf16 summation-order differences only
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+
+
+def test_grad_parity_bf16(setup):
+    img, params = setup
+    probe = jax.random.normal(jax.random.PRNGKey(3), (B, 30))
+
+    def loss(p, impl):
+        return jnp.sum(_make(impl, jnp.bfloat16).apply(p, img) * probe)
+
+    g_ref = jax.grad(lambda p: loss(p, "xla"))(params)
+    g_out = jax.grad(lambda p: loss(p, "pallas_interpret"))(params)
+    for name in ("conv0", "conv1", "conv2"):
+        vref = g_ref["params"][name]["kernel"]
+        vout = g_out["params"][name]["kernel"]
+        scale = max(float(jnp.max(jnp.abs(vref))), 1e-6)
+        np.testing.assert_allclose(np.asarray(vout), np.asarray(vref),
+                                   rtol=0.1, atol=0.1 * scale,
+                                   err_msg=name)
+
+
+def test_image_cotangent_not_needed(setup):
+    """jit-compiling a params-only grad through the fused path works (the
+    image cotangent placeholder is dead code, DCE'd by XLA)."""
+    img, params = setup
+
+    @jax.jit
+    def g(p):
+        return jax.grad(
+            lambda q: jnp.sum(_make("pallas_interpret", None)
+                              .apply(q, img)))(p)
+
+    out = g(params)
+    assert jnp.isfinite(out["params"]["fc"]["kernel"]).all()
