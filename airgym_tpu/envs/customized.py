@@ -55,7 +55,9 @@ class CustomizedCfg(base.BaseEnvCfg):
 
 class CustomizedState(NamedTuple):
     core: base.EnvState
-    scene_key: jnp.ndarray        # per-env scene RNG (resampled on reset)
+    scene: dr.SceneForRender      # carried per-env placements
+    asset_states: jnp.ndarray     # [N, K, 13] env-asset root states
+    scene_key: jnp.ndarray        # base RNG for reset-time resampling
     camera: jnp.ndarray
     counter: jnp.ndarray
 
@@ -95,17 +97,36 @@ class Customized(base.QuadEnvCore):
                                axis=-1).astype(self.cfg.dtype)
 
     def initial_state(self, key) -> CustomizedState:
-        kr, ks, kc = jax.random.split(key, 3)
+        kr, ks, k0, kc = jax.random.split(key, 4)
         n = self.cfg.num_envs
         cam = jnp.zeros((n, 1, self.cam_cfg.width, self.cam_cfg.height),
                         dtype=self.cfg.dtype)
+        scene, states = self.manager.sample_scene(k0)
+        # ground is a STATIC render flag (always True for managed scenes);
+        # stored as None (an empty pytree) so jit never traces it, and
+        # re-attached in _scene
         return CustomizedState(core=self.init_core(kc, self._reset_root(
-            kr, n)), scene_key=ks, camera=cam,
-            counter=jnp.asarray(0, jnp.int32))
+            kr, n)), scene=scene._replace(ground=None),
+            asset_states=states, scene_key=ks,
+            camera=cam, counter=jnp.asarray(0, jnp.int32))
 
     def _scene(self, state: CustomizedState):
-        scene, states = self.manager.sample_scene(state.scene_key)
-        return scene, states
+        return state.scene._replace(ground=True), state.asset_states
+
+    @staticmethod
+    def _merge_reset_scene(reset, old, new):
+        """Per-env scene reset like Planning (planning.py:199-204 here;
+        reference customized.py:355-362 re-places assets only for the
+        reset envs): every array leaf has a leading env axis, so a
+        jnp.where on the reset mask swaps in the fresh placements for
+        resetting envs and leaves surviving envs' scenes untouched."""
+        def merge(o, nw):
+            if not hasattr(o, "ndim"):
+                return o           # static leaves (SceneForRender.ground)
+            mask = reset.reshape((-1,) + (1,) * (o.ndim - 1))
+            return jnp.where(mask, nw, o)
+
+        return jax.tree.map(merge, old, new)
 
     def step(self, state: CustomizedState, actions: jnp.ndarray,
              render: Optional[bool] = None
@@ -153,17 +174,23 @@ class Customized(base.QuadEnvCore):
                              pre_actions=acts, rng=rng)
         core = self.apply_reset(core, reset,
                                 self._reset_root(k_root, cfg.num_envs))
-        # per-env scene resample on reset: fold reset mask into the key
-        scene_key = jax.lax.cond(reset.any(),
-                                 lambda: jax.random.fold_in(
-                                     state.scene_key, counter),
-                                 lambda: state.scene_key)
+        # per-env scene resample on reset: fresh placements are sampled
+        # every step from a counter-folded key and jnp.where-merged in for
+        # the reset envs only — surviving envs' obstacles never move
+        new_scene, new_states = self.manager.sample_scene(
+            jax.random.fold_in(state.scene_key, counter))
+        scene = self._merge_reset_scene(
+            reset, state.scene, new_scene._replace(ground=None))
+        asset_states = self._merge_reset_scene(reset, state.asset_states,
+                                               new_states)
 
         obs = {"image": camera, "observation": obs_vec}
         out = base.StepOutput(obs=obs, priv_obs=asset_states,
                               reward=reward, reset=reset, timeout=timeout,
                               info=info)
-        return CustomizedState(core=core, scene_key=scene_key,
+        return CustomizedState(core=core, scene=scene,
+                               asset_states=asset_states,
+                               scene_key=state.scene_key,
                                camera=camera, counter=counter), out
 
     def _reward(self, root, actions, pre_actions, collisions):
