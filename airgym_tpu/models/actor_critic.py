@@ -259,7 +259,10 @@ class CNNEncoder(nn.Module):
     """
     feature_dim: int = 30
     compute_dtype: Any = jnp.bfloat16
-    # 'auto': fused Pallas stack on TPU, XLA elsewhere.  'pallas' /
+    # 'auto': the folded XLA stack (fastest measured END-TO-END: the
+    # Pallas megakernel's forward is competitive but its backward is
+    # ~2.4x slower than XLA's at minibatch scale, which regressed vision
+    # training 2.7x when 'auto' briefly meant pallas-on-TPU).  'pallas' /
     # 'pallas_interpret' force the fused kernel (the latter in Pallas
     # interpret mode, for CPU parity tests); 'xla' forces the XLA path.
     impl: str = "auto"
@@ -272,9 +275,12 @@ class CNNEncoder(nn.Module):
             x = x.astype(self.compute_dtype)
         folded = x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
         s2d_ok = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
-        use_pallas = folded and (
-            self.impl in ("pallas", "pallas_interpret")
-            or (self.impl == "auto" and jax.default_backend() == "tpu"))
+        if self.impl in ("pallas", "pallas_interpret") and not folded:
+            raise ValueError(
+                f"impl={self.impl!r} requires H and W divisible by 4 "
+                f"(got {x.shape[1]}x{x.shape[2]}); use impl='xla'/'auto' "
+                "for non-foldable shapes")
+        use_pallas = folded and self.impl in ("pallas", "pallas_interpret")
         if use_pallas:
             # one Pallas megakernel for the whole conv stack: activations
             # never leave VMEM (ops/fused_cnn.py).  Identical parameters

@@ -427,6 +427,11 @@ def encode_pooled(x_nhwc: jnp.ndarray, ws: dict,
                   interpret: bool = False) -> jnp.ndarray:
     """Fused CNN stack: normalized [B,H,W,1] image -> pooled [B,64] f32.
 
+    GRADIENT CONTRACT: differentiates w.r.t. ``ws`` ONLY. The image
+    input is treated as rollout data (stop_gradient'd below) — callers
+    that need d/d(image), e.g. a learned pre-encoder, must use the XLA
+    path. The custom VJP would otherwise silently return zeros for it.
+
     ``ws``: w0 [64,64] (folded conv0 matrix), w1 [256,32] (cell conv1),
     w2 [288,64] (conv2 im2col, (di,dj,cin) row order), conv biases
     b0 [64] (tiled x4) / b1 [32] / b2 [64], folded-BN effective
@@ -436,6 +441,9 @@ def encode_pooled(x_nhwc: jnp.ndarray, ws: dict,
     accumulation, then cast at layer boundaries.
     """
     b, h, w, _ = x_nhwc.shape
+    # fail loudly rather than train with silently-zero image gradients:
+    # pooled_bwd returns zeros for the image cotangent by design
+    x_nhwc = jax.lax.stop_gradient(x_nhwc)
     x0 = build_x0_planes(x_nhwc)
     fn = _make_pooled_fn(h // 4, w // 4, interpret)
     row = lambda a: a.reshape(1, -1).astype(jnp.float32)

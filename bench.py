@@ -152,7 +152,9 @@ def bench_vision_training():
     16 GB chip thanks to bf16 unique-frame rollout storage (frame dedup)
     + on-the-fly env-major minibatch gathers + layout-pinned donation."""
     n, horizon, calls = 4096, 24, 5
-    task = envs.make_task("planning", ctl_mode="vel", num_envs=n)
+    # narrowed-rate is the vision lineage's shipped mode (envs/base.py
+    # NARROW_RATE_LIMITS; reference customized.py:109-114)
+    task = envs.make_task("planning", ctl_mode="rate", num_envs=n)
     tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(
         horizon=horizon, minibatch_size=2048, mini_epochs=5))
     ts = tr.init(jax.random.PRNGKey(0))
@@ -177,7 +179,7 @@ def bench_avoid_training():
     (PPOConfig.dedup_image_frames: cameras render every 4th step, so the
     buffer shrinks 4x) and minibatches gather (frame, env) pairs."""
     n, horizon, calls = 4096, 64, 3
-    task = envs.make_task("avoid", ctl_mode="vel", num_envs=n)
+    task = envs.make_task("avoid", ctl_mode="rate", num_envs=n)
     tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(
         horizon=horizon, minibatch_size=2048, mini_epochs=5))
     ts = tr.init(jax.random.PRNGKey(0))

@@ -15,7 +15,14 @@ from airgym_tpu.models.actor_critic import CNNEncoder
 from airgym_tpu.utils.compile_cache import enable_compilation_cache
 
 
-def bench(impl: str, batch: int, iters: int = 30) -> float:
+def _sync(r):
+    """Force completion with a host fetch (block_until_ready does not
+    reliably wait for remote execution over the axon tunnel)."""
+    leaf = jax.tree.leaves(r)[0]
+    float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def bench(impl: str, batch: int, iters: int = 30) -> dict:
     enc = CNNEncoder(feature_dim=30, compute_dtype=jnp.bfloat16, impl=impl)
     key = jax.random.PRNGKey(0)
     img = jax.random.normal(key, (batch, 1, 212, 120), jnp.float32)
@@ -34,12 +41,12 @@ def bench(impl: str, batch: int, iters: int = 30) -> float:
 
     out = {}
     for name, fn in (("fwd", fwd), ("fwdbwd", fwdbwd)):
-        fn(params, img)
-        fn(params, img)  # two warmups: weak-type settle
+        _sync(fn(params, img))
+        _sync(fn(params, img))  # two warmups: weak-type settle
         t0 = time.perf_counter()
         for _ in range(iters):
             r = fn(params, img)
-        jax.block_until_ready(r)
+        _sync(r)
         dt = (time.perf_counter() - t0) / iters
         out[name] = dt * 1e3
         print(f"{impl:18s} {name:6s} B={batch}: {dt*1e3:8.3f} ms")

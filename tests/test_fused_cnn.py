@@ -110,3 +110,51 @@ def test_image_cotangent_not_needed(setup):
 
     out = g(params)
     assert jnp.isfinite(out["params"]["fc"]["kernel"]).all()
+
+
+@pytest.mark.slow
+def test_pallas_vs_xla_parity_on_real_tpu():
+    """Mosaic-lowering parity on real hardware (ADVICE r2 #4): interpret
+    mode cannot exercise dynamic_rotate lowering, revisited constant-index
+    output accumulation, or lane-axis concat alignment. Runs in a
+    subprocess WITHOUT conftest's CPU forcing; skips when the host has no
+    TPU backend."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("JAX_PLATFORM_NAME", None)
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np\n"
+        "if jax.default_backend() != 'tpu':\n"
+        "    print('NO_TPU'); raise SystemExit(0)\n"
+        "from airgym_tpu.models.actor_critic import CNNEncoder\n"
+        "img = jax.random.normal(jax.random.PRNGKey(0),\n"
+        "                        (64, 1, 212, 120), jnp.float32)\n"
+        "mk = lambda impl: CNNEncoder(feature_dim=30, impl=impl)\n"
+        "params = mk('xla').init(jax.random.PRNGKey(1), img[:2])\n"
+        "probe = jax.random.normal(jax.random.PRNGKey(2), (64, 30))\n"
+        "outs = {}\n"
+        "for impl in ('xla', 'pallas'):\n"
+        "    f = jax.jit(lambda p, im: mk(impl).apply(p, im))\n"
+        "    g = jax.jit(jax.grad(lambda p: jnp.sum(\n"
+        "        mk(impl).apply(p, img) * probe)))\n"
+        "    outs[impl] = (np.asarray(f(params, img)),\n"
+        "                  np.asarray(g(params)['params']['conv1']['kernel']))\n"
+        "fd = float(np.abs(outs['xla'][0] - outs['pallas'][0]).max())\n"
+        "gd = float(np.abs(outs['xla'][1] - outs['pallas'][1]).max())\n"
+        "gs = float(np.abs(outs['xla'][1]).max())\n"
+        "print('fwd diff', fd, 'grad diff', gd, 'grad scale', gs)\n"
+        "assert fd < 0.05, fd\n"           # bf16 summation-order only
+        "assert gd < 0.1 * max(gs, 1e-6), (gd, gs)\n"
+        "print('TPU_PARITY OK')\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                          capture_output=True, text=True, timeout=900)
+    if "NO_TPU" in proc.stdout:
+        pytest.skip("no TPU backend on this host")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "TPU_PARITY OK" in proc.stdout, proc.stdout
