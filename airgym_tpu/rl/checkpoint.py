@@ -68,7 +68,14 @@ def load(path: str):
             return pickle.load(f)
 
     payload = safe_filesystem_op(_read)
-    return payload["train_state"], payload.get("extra", {})
+    # checkpoints written before the compensated running stats carry
+    # 3-field RunningMeanStd tuples; fill zero carries so the restored
+    # pytree structure matches what the jitted train epoch expects
+    is_rms = lambda x: isinstance(x, RunningMeanStd)
+    ts = jax.tree.map(
+        lambda x: x._with_carries() if is_rms(x) else x,
+        payload["train_state"], is_leaf=is_rms)
+    return ts, payload.get("extra", {})
 
 
 # --------------------------------------------------------------------------
@@ -105,9 +112,20 @@ def _cnn_to_torch(cnn, out):
 
 
 def _rms_to_torch(rms, prefix, out):
-    out[f"{prefix}.running_mean"] = np.asarray(rms.mean, np.float64)
-    out[f"{prefix}.running_var"] = np.asarray(rms.var, np.float64)
-    out[f"{prefix}.count"] = np.asarray(rms.count, np.float64)
+    # fold the Neumaier carries back in: field + field_c IS the stat at
+    # f64 precision (running_stats.py) — the reference stores f64 buffers
+    def full(v, c):
+        v = np.asarray(v, np.float64)
+        if c is not None:
+            # np.asarray: a 0-d + 0-d sum is a numpy SCALAR, which would
+            # dodge export_pth's from_numpy/ascontiguousarray branch (the
+            # one that promotes 0-d to the [1] shape torch expects)
+            v = np.asarray(v + np.asarray(c, np.float64))
+        return v
+
+    out[f"{prefix}.running_mean"] = full(rms.mean, rms.mean_c)
+    out[f"{prefix}.running_var"] = full(rms.var, rms.var_c)
+    out[f"{prefix}.count"] = full(rms.count, rms.count_c)
 
 
 def model_state_dict(params, obs_rms=None, value_rms=None) -> Dict[str, Any]:
@@ -192,14 +210,21 @@ def _torch_cnn_to_flax(sd):
 
 
 def _torch_rms(sd, prefix, template: RunningMeanStd) -> RunningMeanStd:
-    return RunningMeanStd(
-        mean=jnp.asarray(np.asarray(sd[f"{prefix}.running_mean"]),
-                         jnp.float32),
-        var=jnp.asarray(np.asarray(sd[f"{prefix}.running_var"]),
-                        jnp.float32),
-        count=jnp.asarray(
-            float(np.asarray(sd[f"{prefix}.count"]).reshape(-1)[0]),
-            jnp.float32))
+    # split the torch f64 buffers into f32 value + f32 Neumaier carry so
+    # no precision is lost round-tripping through the compensated stats
+    def split(v64):
+        v32 = v64.astype(np.float32)
+        return (jnp.asarray(v32),
+                jnp.asarray((v64 - v32.astype(np.float64)).astype(
+                    np.float32)))
+
+    mean, mean_c = split(np.asarray(sd[f"{prefix}.running_mean"],
+                                    np.float64))
+    var, var_c = split(np.asarray(sd[f"{prefix}.running_var"], np.float64))
+    count, count_c = split(np.asarray(
+        sd[f"{prefix}.count"], np.float64).reshape(-1)[0].reshape(()))
+    return RunningMeanStd(mean=mean, var=var, count=count, mean_c=mean_c,
+                          var_c=var_c, count_c=count_c)
 
 
 def import_pth(path: str, params_template, obs_rms_template=None,
@@ -269,9 +294,11 @@ def import_pth(path: str, params_template, obs_rms_template=None,
     if value_rms_template is not None and \
             "value_mean_std.running_mean" in sd:
         value_rms = _torch_rms(sd, "value_mean_std", value_rms_template)
-        value_rms = RunningMeanStd(mean=value_rms.mean.reshape(()),
-                                   var=value_rms.var.reshape(()),
-                                   count=value_rms.count)
+        value_rms = value_rms._replace(
+            mean=value_rms.mean.reshape(()),
+            var=value_rms.var.reshape(()),
+            mean_c=value_rms.mean_c.reshape(()),
+            var_c=value_rms.var_c.reshape(()))
 
     meta = {"epoch": int(ck.get("epoch", 0)),
             "frame": int(ck.get("frame", 0)),
