@@ -178,7 +178,7 @@ class Avoid(base.QuadEnvCore):
 
         acts = self.remap_actions(actions)
         cmds, ctrl = self.run_controller(core, acts)
-        root = self.physics_step(core.root, cmds)
+        root, rotors = self.physics_step(core, cmds)
 
         # cube ballistic flight; rests once on the ground (half extent 0.5)
         obj = qd.ballistic_step(cfg.dt, self.params.gravity, state.obj)
@@ -217,7 +217,7 @@ class Avoid(base.QuadEnvCore):
         timeout = (progress >= max_len - 1) & ~die
         reset = die | (progress >= max_len - 1)
 
-        core = core._replace(root=root, ctrl=ctrl, progress=progress,
+        core = core._replace(root=root, ctrl=ctrl, rotors=rotors, progress=progress,
                              pre_actions=acts, rng=rng)
         core = self.apply_reset(core, reset,
                                 self._reset_root(k_r1, cfg.num_envs))

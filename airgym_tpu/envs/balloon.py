@@ -83,7 +83,7 @@ class Balloon(base.QuadEnvCore):
 
         acts = self.remap_actions(actions)
         cmds, ctrl = self.run_controller(core, acts)
-        root = self.physics_step(core.root, cmds)
+        root, rotors = self.physics_step(core, cmds)
         progress = core.progress + 1
 
         obs = self._observations(root, state.balloon, k_noise)
@@ -97,7 +97,7 @@ class Balloon(base.QuadEnvCore):
         timeout = (progress >= max_len - 1) & ~die
         reset = die | (progress >= max_len - 1)
 
-        core = core._replace(root=root, ctrl=ctrl, progress=progress,
+        core = core._replace(root=root, ctrl=ctrl, rotors=rotors, progress=progress,
                              pre_actions=acts, rng=rng)
         core = self.apply_reset(core, reset,
                                 self._reset_root(k_reset_r, self.cfg.num_envs))

@@ -58,6 +58,7 @@ class EnvState(NamedTuple):
     pre_actions: jnp.ndarray     # [N,A] previous post-remap actions
     reset_buf: jnp.ndarray       # [N] bool — envs reset at end of last step
     rng: jnp.ndarray             # PRNG key
+    rotors: jnp.ndarray = None   # [N,4] actual rotor thrusts (motor lag)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,6 +73,9 @@ class BaseEnvCfg:
     get_privileged_obs: bool = True
     reset_on_collision: bool = False
     obs_noise: bool = True
+    # first-order rotor-response time constant [s]; 0 = instantaneous
+    # thrust like the reference (see physics.quadrotor.rotor_lag)
+    motor_tau: float = 0.0
     dtype: Any = jnp.float32
 
     @property
@@ -107,7 +111,8 @@ class QuadEnvCore:
                  params: Optional[qd.QuadrotorParams] = None,
                  gains: Optional[px4.CascadeGains] = None):
         self.cfg = cfg
-        self.params = params or qd.x152b_params(dt=cfg.dt)
+        self.params = params or qd.x152b_params(
+            dt=cfg.dt, motor_tau=getattr(cfg, "motor_tau", 0.0))
         self.gains = gains or px4.CascadeGains()
         lo, hi = self.action_limits(cfg.ctl_mode)
         self._act_lo = jnp.asarray(lo, dtype=cfg.dtype)
@@ -142,8 +147,20 @@ class QuadEnvCore:
         cmds = jnp.where(state.reset_buf[:, None], 0.0, cmds)
         return cmds, ctrl
 
-    def physics_step(self, root: jnp.ndarray, cmds: jnp.ndarray):
-        return qd.step(self.params, root, cmds)
+    def physics_step(self, core: EnvState, cmds: jnp.ndarray):
+        """Rotor commands -> next root state, threading the first-order
+        motor-lag filter when ``params.motor_tau > 0`` (qd.rotor_lag).
+        Returns (root', rotors') — rotors' is the ACTUAL normalized rotor
+        thrust applied this step (equal to cmds when lag is off)."""
+        if self.params.motor_tau > 0.0:
+            if core.rotors is None:
+                raise ValueError(
+                    "motor_tau > 0 requires EnvState.rotors; build states "
+                    "via init_core (old checkpoints carry no rotor state)")
+            rotors = qd.rotor_lag(self.params, core.rotors, cmds)
+            return qd.step(self.params, core.root, rotors), rotors
+        rotors = cmds if core.rotors is not None else None
+        return qd.step(self.params, core.root, cmds), rotors
 
     # -- observations -----------------------------------------------------
 
@@ -193,6 +210,8 @@ class QuadEnvCore:
             progress=jnp.where(reset_mask, 0, state.progress),
             pre_actions=jnp.where(m, 0.0, state.pre_actions),
             reset_buf=reset_mask,
+            rotors=(None if state.rotors is None
+                    else jnp.where(m, 0.0, state.rotors)),
         )
 
     def init_core(self, key, root: Optional[jnp.ndarray] = None) -> EnvState:
@@ -207,6 +226,7 @@ class QuadEnvCore:
                                   dtype=self.cfg.dtype),
             reset_buf=jnp.ones((n,), dtype=bool),
             rng=key,
+            rotors=jnp.zeros((n, 4), dtype=self.cfg.dtype),
         )
 
 

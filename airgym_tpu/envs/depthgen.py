@@ -192,7 +192,7 @@ class DepthGen(base.QuadEnvCore):
 
         acts = self.remap_actions(actions)
         cmds, ctrl = self.run_controller(core, acts)
-        root = self.physics_step(core.root, cmds)
+        root, rotors = self.physics_step(core, cmds)
         counter = state.counter + 1
         progress = core.progress + 1
 
@@ -207,7 +207,7 @@ class DepthGen(base.QuadEnvCore):
         timeout = reset
 
         scene = self._reset_scene(k_scene, cfg.num_envs)
-        core = core._replace(root=root, ctrl=ctrl, progress=progress,
+        core = core._replace(root=root, ctrl=ctrl, rotors=rotors, progress=progress,
                              pre_actions=acts, rng=rng)
         core = self.apply_reset(core, reset,
                                 self._reset_root(k_root, cfg.num_envs))

@@ -67,7 +67,7 @@ class Hovering(base.QuadEnvCore):
 
         acts = self.remap_actions(actions)
         cmds, ctrl = self.run_controller(core, acts)
-        root = self.physics_step(core.root, cmds)
+        root, rotors = self.physics_step(core, cmds)
         progress = core.progress + 1
 
         obs = self.state_obs18(root, k_noise) - self.target
@@ -77,7 +77,7 @@ class Hovering(base.QuadEnvCore):
         timeout = (progress >= max_len - 1) & ~die
         reset = die | (progress >= max_len - 1)
 
-        core = core._replace(root=root, ctrl=ctrl, progress=progress,
+        core = core._replace(root=root, ctrl=ctrl, rotors=rotors, progress=progress,
                              pre_actions=acts, rng=rng)
         new_root = self.reset_root(k_reset, self.cfg.num_envs)
         core = self.apply_reset(core, reset, new_root)

@@ -123,6 +123,7 @@ class MAPlanning(base.QuadEnvCore):
             pre_actions=jnp.zeros((n, self.cfg.num_actions)),
             reset_buf=jnp.ones((n,), bool),
             rng=kc,
+            rotors=jnp.zeros((n, 4), dtype=self.cfg.dtype),
         )
         cam = jnp.zeros((n, 1, self.cam_cfg.width, self.cam_cfg.height),
                         dtype=self.cfg.dtype)
@@ -169,7 +170,7 @@ class MAPlanning(base.QuadEnvCore):
         actions = actions.reshape(n, cfg.num_actions)
         acts = self.remap_actions(actions)
         cmds, ctrl = self.run_controller(core, acts)
-        root = self.physics_step(core.root, cmds)
+        root, rotors = self.physics_step(core, cmds)
 
         counter = state.counter + 1
         progress = core.progress + 1               # [E]
@@ -221,7 +222,7 @@ class MAPlanning(base.QuadEnvCore):
         goal = jnp.where(reset_env[:, None], self._reset_goal(kg, e),
                          state.goal)
         new_root = self._reset_root(kr, goal, e)
-        core = core._replace(root=root, ctrl=ctrl, pre_actions=acts,
+        core = core._replace(root=root, ctrl=ctrl, rotors=rotors, pre_actions=acts,
                              rng=rng)
         m = reset_flat[:, None]
         core = core._replace(
@@ -231,6 +232,7 @@ class MAPlanning(base.QuadEnvCore):
             progress=jnp.where(reset_env, 0, progress),
             pre_actions=jnp.where(m, 0.0, core.pre_actions),
             reset_buf=reset_flat,
+            rotors=jnp.where(m, 0.0, core.rotors),
         )
         pre_pos = jnp.where(m, 0.0, root[:, 0:3])
 

@@ -155,7 +155,7 @@ class Planning(base.QuadEnvCore):
 
         acts = self.remap_actions(actions)
         cmds, ctrl = self.run_controller(core, acts)
-        root = self.physics_step(core.root, cmds)
+        root, rotors = self.physics_step(core, cmds)
 
         counter = state.counter + 1
         progress = core.progress + 1
@@ -203,7 +203,7 @@ class Planning(base.QuadEnvCore):
         tree_pos = jnp.where(reset[:, None, None], new_pos, state.tree_pos)
         tree_yaw = jnp.where(reset[:, None], new_yaw, state.tree_yaw)
 
-        core = core._replace(root=root, ctrl=ctrl, progress=progress,
+        core = core._replace(root=root, ctrl=ctrl, rotors=rotors, progress=progress,
                              pre_actions=acts, rng=rng)
         core = self.apply_reset(core, reset,
                                 self._reset_root(goal, cfg.num_envs))

@@ -90,7 +90,7 @@ class Tracking(base.QuadEnvCore):
 
         acts = self.remap_actions(actions)
         cmds, ctrl = self.run_controller(core, acts)
-        root = self.physics_step(core.root, cmds)
+        root, rotors = self.physics_step(core, cmds)
         progress = core.progress + 1
 
         ref = self.ref_trajectory(progress)                    # [N, 10, 3]
@@ -105,7 +105,7 @@ class Tracking(base.QuadEnvCore):
         timeout = (progress >= max_len - 1) & ~die
         reset = die | (progress >= max_len - 1)
 
-        core = core._replace(root=root, ctrl=ctrl, progress=progress,
+        core = core._replace(root=root, ctrl=ctrl, rotors=rotors, progress=progress,
                              pre_actions=acts, rng=rng)
         core = self.apply_reset(core, reset,
                                 self._reset_root(k_reset, self.cfg.num_envs))

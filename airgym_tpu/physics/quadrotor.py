@@ -120,6 +120,24 @@ def rotor_wrench(params: QuadrotorParams, cmd_thrusts: jnp.ndarray):
     return force, torque
 
 
+def rotor_lag(params: QuadrotorParams, rotors: jnp.ndarray,
+              cmd_thrusts: jnp.ndarray) -> jnp.ndarray:
+    """First-order rotor response: actual normalized rotor thrust tracks
+    the commanded thrust with time constant ``motor_tau`` (exact discrete
+    form, u' = a*u + (1-a)*c with a = exp(-dt/tau)). With motor_tau = 0
+    (the parity default — the reference applies commands instantaneously,
+    hovering.py:256) this is the identity on the commands.
+
+    Part of the sim-to-real fidelity track (BASELINE.json north star:
+    "rotor thrust/drag/motor lag"); a real X152b rotor cannot change
+    thrust in one 10 ms step.
+    """
+    if params.motor_tau <= 0.0:
+        return cmd_thrusts
+    alpha = float(np.exp(-params.dt / params.motor_tau))
+    return alpha * rotors + (1.0 - alpha) * cmd_thrusts
+
+
 def step(params: QuadrotorParams, state: jnp.ndarray,
          cmd_thrusts: jnp.ndarray,
          ext_force_world: jnp.ndarray | None = None) -> jnp.ndarray:

@@ -33,6 +33,11 @@ class FusedHoveringPPO(ppo_mod.PPO):
         assert task.task_name == self.fused_task \
             and task.cfg.ctl_mode == "rate"
         assert task.cfg.num_envs % fr.TILE == 0
+        if task.params.motor_tau > 0.0:
+            raise NotImplementedError(
+                "the fused rollout kernels apply rotor commands "
+                "instantaneously; motor_tau > 0 (first-order motor lag) "
+                "is only supported by the standard PPO path")
         super().__init__(task, cfg, network_kw=network_kw)
 
     # -- task hooks (overridden by fused variants) -------------------------
