@@ -72,6 +72,7 @@ class MAPlanning(base.QuadEnvCore):
     task_name = "maplanning"
     action_limit_overrides = {"rate": base.NARROW_RATE_LIMITS}
     obs_is_dict = True
+    has_success = True            # info["success"]: per-robot goal reach
 
     def __init__(self, cfg: MAPlanningCfg = MAPlanningCfg(), **kw):
         super().__init__(cfg, **kw)
@@ -296,5 +297,8 @@ class MAPlanning(base.QuadEnvCore):
             "thrust_reward": thrust_r,
             "reach_goal_reward": reach_r,
             "reward": reward,
+            # per-robot goal-contact flag for the trainer's per-episode
+            # success tracking (popped from the Episode/ means)
+            "success": reach_goal,
         }
         return reward, reset_robot, info

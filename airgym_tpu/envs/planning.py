@@ -52,6 +52,11 @@ class PlanningCfg(base.BaseEnvCfg):
     create_ground_plane: bool = True
     cam_dt: float = 0.04
     num_trees: int = 40
+    # curriculum knob: start the drone at this x instead of the reference
+    # -LENGTH-0.5 (a shorter corridor makes the +200 goal bonus reachable
+    # early in training; the policy obs carry no absolute position, so a
+    # short-corridor policy transfers to the full task). None = reference.
+    start_x: Optional[float] = None
 
     @property
     def cam_every(self) -> int:
@@ -75,6 +80,9 @@ class Planning(base.QuadEnvCore):
     action_limit_overrides = {"rate": base.NARROW_RATE_LIMITS}
     num_obs = 16
     obs_is_dict = True
+    # emits info["success"] (episode ended by reaching the goal ball);
+    # the trainer tracks the per-episode success rate from it
+    has_success = True
 
     def __init__(self, cfg: PlanningCfg = PlanningCfg(), **kw):
         super().__init__(cfg, **kw)
@@ -101,8 +109,11 @@ class Planning(base.QuadEnvCore):
 
     def _reset_root(self, goal, n):
         """Start at (-L-0.5, 0, FLY_HEIGHT) yawed toward the goal
-        (planning.py:84-112), zero velocities."""
-        start = jnp.tile(jnp.array([-LENGTH - 0.5, 0.0, FLY_HEIGHT]), (n, 1))
+        (planning.py:84-112), zero velocities. cfg.start_x overrides the
+        start x for curriculum stages."""
+        x0 = (-LENGTH - 0.5 if self.cfg.start_x is None
+              else float(self.cfg.start_x))
+        start = jnp.tile(jnp.array([x0, 0.0, FLY_HEIGHT]), (n, 1))
         init_yaw = jnp.arctan2(goal[:, 1] - start[:, 1],
                                goal[:, 0] - start[:, 0])
         ang = jnp.stack([jnp.zeros((n,)), jnp.zeros((n,)), init_yaw],
@@ -285,5 +296,9 @@ class Planning(base.QuadEnvCore):
             "thrust_reward": thrust_r,
             "reach_goal_reward": reach_r,
             "reward": reward,
+            # not a reward term: per-step goal-contact flag, consumed by
+            # the trainer's per-episode success tracking (popped from the
+            # Episode/ means)
+            "success": reach_goal,
         }
         return reward, die, info

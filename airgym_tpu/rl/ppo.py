@@ -127,6 +127,9 @@ class TrainState(NamedTuple):
     last_ep_return: jnp.ndarray     # [N] return of last finished episode
     last_ep_length: jnp.ndarray     # [N]
     rng: jnp.ndarray
+    # [N] 1.0 iff the last finished episode ended by task success (tasks
+    # with has_success, e.g. Planning goal reach); None otherwise
+    last_ep_success: Any = None
 
 
 class Rollout(NamedTuple):
@@ -264,6 +267,8 @@ class PPO:
             ep_length=jnp.zeros((n,)),
             last_ep_return=jnp.zeros((n,)),
             last_ep_length=jnp.zeros((n,)),
+            last_ep_success=(jnp.zeros((n,)) if getattr(
+                self.task, "has_success", False) else None),
             rng=k_rng,
         )
 
@@ -307,8 +312,8 @@ class PPO:
         store_t = jnp.bfloat16 if cfg.compress_image_obs else None
 
         def step_fn(carry, _, render=None):
-            (env_state, obs, ep_ret, ep_len, last_ret, last_len, rng,
-             feat) = carry
+            (env_state, obs, ep_ret, ep_len, last_ret, last_len, last_suc,
+             rng, feat) = carry
             rng, k_act = jax.random.split(rng)
             # frame dedup: the camera only changes every cam_every steps,
             # so the encoder features are cached in the carry and
@@ -339,6 +344,13 @@ class PPO:
             last_len = jnp.where(out.reset, ep_len, last_len)
             ep_ret = ep_ret * (1.0 - done_f)
             ep_len = ep_len * (1.0 - done_f)
+            info = dict(out.info)
+            success = info.pop("success", None)
+            if last_suc is not None:
+                # per-EPISODE success: on each env's reset, record whether
+                # the ending step was a task success (e.g. goal reach)
+                last_suc = jnp.where(out.reset,
+                                     success.astype(ep_ret.dtype), last_suc)
 
             # store images bfloat16: the CNN consumes bf16 anyway (MXU),
             # and f32 rollout storage doubled the dominant HBM buffer
@@ -362,16 +374,17 @@ class PPO:
                            values=value, mus=mu, sigmas=sigma,
                            rewards=out.reward, dones=out.reset,
                            timeouts=out.timeout)
-            info_means = {k: jnp.mean(v) for k, v in out.info.items()}
+            info_means = {k: jnp.mean(v) for k, v in info.items()}
             return ((env_state, out.obs, ep_ret, ep_len, last_ret, last_len,
-                     rng, feat), (data, info_means))
+                     last_suc, rng, feat), (data, info_means))
 
         feat0 = None
         if dedup:
             feat0 = self._encode_frames(ts.params, ts.obs_rms,
                                         ts.obs["image"])
         carry0 = (ts.env_state, ts.obs, ts.ep_return, ts.ep_length,
-                  ts.last_ep_return, ts.last_ep_length, ts.rng, feat0)
+                  ts.last_ep_return, ts.last_ep_length, ts.last_ep_success,
+                  ts.rng, feat0)
 
         if dedup:
             # Nested scan: the outer loop EMITS one camera frame per
@@ -417,8 +430,8 @@ class PPO:
         else:
             carry, (traj, infos) = jax.lax.scan(step_fn, carry0, None,
                                                 length=cfg.horizon)
-        (env_state, obs, ep_ret, ep_len, last_ret, last_len, rng,
-         _) = carry
+        (env_state, obs, ep_ret, ep_len, last_ret, last_len, last_suc,
+         rng, _) = carry
 
         # value of the final observation for bootstrapping
         _, _, _, _, last_value, _ = self._policy(
@@ -426,7 +439,8 @@ class PPO:
 
         ts = ts._replace(env_state=env_state, obs=obs, ep_return=ep_ret,
                          ep_length=ep_len, last_ep_return=last_ret,
-                         last_ep_length=last_len, rng=rng)
+                         last_ep_length=last_len, last_ep_success=last_suc,
+                         rng=rng)
         return ts, traj, last_value, infos
 
     # ------------------------------------------------------------------- GAE
@@ -741,6 +755,11 @@ class PPO:
         metrics["lr"] = ts.lr
         metrics["mean_reward"] = jnp.mean(ts.last_ep_return)
         metrics["mean_ep_length"] = jnp.mean(ts.last_ep_length)
+        if ts.last_ep_success is not None:
+            # fraction of (most recent per-env) episodes ending in task
+            # success — e.g. Planning's goal-ball reach, the number the
+            # task exists to drive up (reference planning.py:254-267)
+            metrics["success_rate"] = jnp.mean(ts.last_ep_success)
         metrics["reward_raw_per_step"] = jnp.mean(traj.rewards)
         # diagnostics: explained variance of the value function
         # (reference dignostics.py / torch_ext.explained_variance)

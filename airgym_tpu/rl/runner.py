@@ -290,11 +290,16 @@ class Runner:
                 for k, v in m_host.items():
                     if k.startswith("Episode/"):
                         scalars[k] = float(v)
+                succ = ""
+                if "success_rate" in m_host:
+                    scalars["info/success_rate"] = float(
+                        m_host["success_rate"])
+                    succ = f" success_rate: {scalars['info/success_rate']:.3f}"
                 writer.add_scalars(scalars, frame)
                 print(f"fps total: {fps:.0f} epoch: {epoch}/"
                       f"{cfg.max_epochs} frames: {frame} "
                       f"mean_reward: {mean_rew:.2f} "
-                      f"lr: {float(m_host['lr']):.2e}", flush=True)
+                      f"lr: {float(m_host['lr']):.2e}{succ}", flush=True)
 
             if pmesh.is_main_process():
                 ck_dir = os.path.join(run_dir, "nn")

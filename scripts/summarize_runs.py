@@ -41,7 +41,8 @@ def main(run_dirs, out_dir="benchmarks/convergence"):
         for key, tags in [
                 ("reward", [t for t in s if t.startswith("rewards")]),
                 ("ep_length", [t for t in s if "episode_lengths" in t]),
-                ("fps", [t for t in s if "total_fps" in t or t == "performance/total_fps"])]:
+                ("fps", [t for t in s if "total_fps" in t or t == "performance/total_fps"]),
+                ("success_rate", [t for t in s if "success_rate" in t])]:
             if tags:
                 pairs = s[tags[0]]
                 rec[key + "_curve"] = [[int(a), round(float(b), 3)]
