@@ -305,7 +305,8 @@ class Runner:
                 ck_dir = os.path.join(run_dir, "nn")
                 if epoch >= cfg.save_best_after and mean_rew > best_reward:
                     best_reward = mean_rew
-                    ckpt.save(os.path.join(ck_dir, name) + ".ckpt", ts)
+                    ckpt.save(os.path.join(ck_dir, name) + ".ckpt",
+                              self._resume_state(ts))
                 if cfg.save_frequency and epoch % cfg.save_frequency == 0:
                     self.save(trainer, ts, os.path.join(
                         ck_dir, f"last_{name}_ep_{epoch}"))
@@ -343,8 +344,19 @@ class Runner:
 
     # -- checkpoints -------------------------------------------------------
 
+    @staticmethod
+    def _resume_state(ts):
+        """What the native .ckpt persists: everything EXCEPT the env
+        buffers. env_state carries the camera images and per-env scene
+        (~1 GB at 4096 vision envs) — device_getting it over the remote
+        tunnel on every best-reward save throttled training 8x. Like the
+        reference (torch_runner saves model/optim/stats only), resume
+        re-initializes the envs; restore() fills them from the fresh
+        TrainState."""
+        return ts._replace(env_state=None, obs=None)
+
     def save(self, trainer, ts, path_no_ext: str):
-        ckpt.save(path_no_ext + ".ckpt", ts)
+        ckpt.save(path_no_ext + ".ckpt", self._resume_state(ts))
         ckpt.export_pth(path_no_ext + ".pth", ts)
 
     def restore(self, trainer, ts, path: str):
@@ -357,6 +369,11 @@ class Runner:
                 epoch=jnp.asarray(meta["epoch"], jnp.int32),
                 frame=ppo_mod.frame_from_int(meta["frame"]))
         loaded, _ = ckpt.load(path)
+        if loaded.env_state is None:       # env-stripped resume ckpt
+            loaded = loaded._replace(env_state=ts.env_state, obs=ts.obs)
+        if loaded.last_ep_success is None and ts.last_ep_success is not None:
+            loaded = loaded._replace(
+                last_ep_success=jnp.zeros_like(ts.last_ep_success))
         return jax.tree.map(lambda t, l: jnp.asarray(l), ts, loaded)
 
 
