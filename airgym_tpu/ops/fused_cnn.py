@@ -87,17 +87,26 @@ def _tap(o: int, d: int):
 
 # ----------------------------------------------------- XLA-side im2col
 
-def build_x0_planes(x_nhwc: jnp.ndarray) -> jnp.ndarray:
+def build_x0_planes(x_nhwc: jnp.ndarray, group: int = 1) -> jnp.ndarray:
     """[B,H,W,1] image -> conv0 im2col patches in plane order
-    [B, 4*P, 64] (plane-major; row t = u*pe_c+v inside a plane; channel
-    = a*16 + b*4 + cin over the 4x4-cell x 4-s2d-channel patch).
+    [B/group, 4*group*P, 64] (plane-major, then image-within-group, then
+    plane row t = u*pe_c+v; channel = a*16 + b*4 + cin over the 4x4-cell
+    x 4-s2d-channel patch).
 
     Matches _FoldedConv0's input transform exactly: zero pad 2, 2x2
     space-to-depth, 4x4 stride-2 patch extraction.  Pure gather/reshape
     work that XLA fuses with the upstream image normalization.
+
+    ``group`` packs that many images into one kernel invocation (row
+    axis): every plane slice becomes [group*Pp, C], making the kernel's
+    matmuls group x taller and amortizing its per-step overhead. The
+    in-kernel shifted-plane masks depend only on position-in-plane, so
+    the same masks (tiled) zero exactly the rows a rotate would leak
+    across image boundaries — grouping is mask-transparent.
     """
     b, h, w, _ = x_nhwc.shape
     assert h % 4 == 0 and w % 4 == 0, (h, w)
+    assert b % group == 0, (b, group)
     hc, wc = h // 4, w // 4
     pe_r, pe_c, P, Pp, vr, vc = _geom(hc, wc)
     xp = jnp.pad(x_nhwc, ((0, 0), (2, 2), (2, 2), (0, 0)))
@@ -114,18 +123,23 @@ def build_x0_planes(x_nhwc: jnp.ndarray) -> jnp.ndarray:
             p = jnp.pad(p, ((0, 0), (0, pe_r - vr[op]),
                             (0, pe_c - vc[oq]), (0, 0)))
             p = p.reshape(b, P, 64)
-            planes.append(jnp.pad(p, ((0, 0), (0, Pp - P), (0, 0))))
-    return jnp.concatenate(planes, axis=1)         # [B, 4*Pp, 64]
+            p = jnp.pad(p, ((0, 0), (0, Pp - P), (0, 0)))
+            # [B/G, G*Pp, 64]: images of a group are consecutive in B
+            planes.append(p.reshape(b // group, group * Pp, 64))
+    return jnp.concatenate(planes, axis=1)     # [B/G, 4*G*Pp, 64]
 
 
 # --------------------------------------------------------------- kernels
 
-def _masks(pe_r: int, pe_c: int, Pp: int, vr, vc, dtype):
-    """Cacheable [Pp,1] source-validity masks keyed by (du, dv, sp, sq),
-    plus the output-row validity mask (pads beyond pe_r*pe_c zeroed)."""
-    t = jax.lax.broadcasted_iota(jnp.int32, (Pp, 1), 0)
-    u = t // pe_c
-    v = t % pe_c
+def _masks(pe_r: int, pe_c: int, Pp: int, vr, vc, dtype, group: int = 1):
+    """Cacheable [group*Pp,1] source-validity masks keyed by
+    (du, dv, sp, sq), plus the output-row validity mask (pads beyond
+    pe_r*pe_c zeroed). With group > 1 the per-plane mask pattern tiles
+    over the stacked images — position-in-plane only, image-agnostic."""
+    t = jax.lax.broadcasted_iota(jnp.int32, (group * Pp, 1), 0)
+    q = t % Pp if group > 1 else t
+    u = q // pe_c
+    v = q % pe_c
     valid = (u < pe_r)
     cache = {}
 
@@ -167,15 +181,21 @@ def _unshift_add(acc, col, s: int, dtype):
 
 
 def _fwd_stack(x0, w0, b0, s0, t0, w1, b1, s1, t1, w2, b2, s2, t2,
-               *, pe_r, pe_c, P, Pp, vr, vc, dt):
-    """Shared forward body -> (pooled [1,64] f32, residuals for bwd)."""
-    mask, valid = _masks(pe_r, pe_c, Pp, vr, vc, jnp.float32)
+               *, pe_r, pe_c, P, Pp, vr, vc, dt, G=1):
+    """Shared forward body -> (pooled [G,64] f32, residuals for bwd).
+
+    All row dims carry G stacked images (plane-major, image-within-group
+    inner): matmuls are G x taller, masks tile per image, and the rotate
+    shifts stay correct because every row a rotate pulls across an image
+    boundary lands on a masked position (see build_x0_planes)."""
+    GPp = G * Pp
+    mask, valid = _masks(pe_r, pe_c, Pp, vr, vc, jnp.float32, group=G)
 
     # conv0 + relu + bn0 (1x1 in cell space: one matmul).  Activations
     # stay f32 through the rotate (Mosaic: no bf16 rotate) and are cast
     # to the compute dtype after masking, at the matmul boundary.
     y0 = jnp.dot(x0, w0, preferred_element_type=jnp.float32)
-    r0 = jnp.maximum(y0 + b0, 0.0)                 # [4Pp, 64] f32
+    r0 = jnp.maximum(y0 + b0, 0.0)                 # [4GPp, 64] f32
     a0 = r0 * s0 + t0
 
     # conv1: per output plane, im2col = 4 masked shifted plane slices
@@ -187,13 +207,14 @@ def _fwd_stack(x0, w0, b0, s0, t0, w1, b1, s1, t1, w2, b2, s2, t2,
                 for c in (0, 1):
                     sp, du = _tap(op, a)
                     sq, dv = _tap(oq, c)
-                    src = a0[(sp * 2 + sq) * Pp:(sp * 2 + sq + 1) * Pp, :]
+                    src = a0[(sp * 2 + sq) * GPp:
+                             (sp * 2 + sq + 1) * GPp, :]
                     blk = _shift(src, du * pe_c + dv, jnp.float32)
                     cols.append((blk * mask(du, dv, sp, sq)).astype(dt))
-            z1_planes.append(jnp.concatenate(cols, axis=1))   # [Pp, 256]
-    z1 = jnp.concatenate(z1_planes, axis=0)                   # [4Pp, 256]
+            z1_planes.append(jnp.concatenate(cols, axis=1))   # [GPp, 256]
+    z1 = jnp.concatenate(z1_planes, axis=0)                   # [4GPp, 256]
     y1 = jnp.dot(z1, w1, preferred_element_type=jnp.float32)
-    r1 = jnp.maximum(y1 + b1, 0.0)                            # [4Pp, 32]
+    r1 = jnp.maximum(y1 + b1, 0.0)                            # [4GPp, 32]
     a1 = r1 * s1 + t1
 
     # conv2: single output grid == one padded plane, 9 taps
@@ -202,27 +223,28 @@ def _fwd_stack(x0, w0, b0, s0, t0, w1, b1, s1, t1, w2, b2, s2, t2,
         for dj in (0, 1, 2):
             sp, du = _tap(0, di)
             sq, dv = _tap(0, dj)
-            src = a1[(sp * 2 + sq) * Pp:(sp * 2 + sq + 1) * Pp, :]
+            src = a1[(sp * 2 + sq) * GPp:(sp * 2 + sq + 1) * GPp, :]
             blk = _shift(src, du * pe_c + dv, jnp.float32)
             cols.append((blk * mask(du, dv, sp, sq)).astype(dt))
-    z2 = jnp.concatenate(cols, axis=1)                        # [Pp, 288]
+    z2 = jnp.concatenate(cols, axis=1)                        # [GPp, 288]
     y2 = jnp.dot(z2, w2, preferred_element_type=jnp.float32)
-    r2 = jnp.maximum(y2 + b2, 0.0)                            # [Pp, 64]
+    r2 = jnp.maximum(y2 + b2, 0.0)                            # [GPp, 64]
     out = (r2 * s2 + t2) * valid
-    pooled = jnp.sum(out, axis=0, keepdims=True) * (1.0 / P)  # [1, 64] f32
+    # per-image mean pool: segment sums over each image's Pp rows
+    pooled = jnp.sum(out.reshape(G, Pp, 64), axis=1) * (1.0 / P)  # [G, 64]
     return pooled, (r0, z1, r1, z2, r2, valid)
 
 
 def _fwd_kernel(x0_ref, w0_r, b0_r, s0_r, t0_r, w1_r, b1_r, s1_r, t1_r,
                 w2_r, b2_r, s2_r, t2_r, out_ref, *, pe_r, pe_c, P, Pp,
-                vr, vc):
+                vr, vc, G):
     x0 = x0_ref[0]
     dt = x0.dtype
     pooled, _ = _fwd_stack(
         x0, w0_r[...], b0_r[...], s0_r[...], t0_r[...],
         w1_r[...], b1_r[...], s1_r[...], t1_r[...],
         w2_r[...], b2_r[...], s2_r[...], t2_r[...],
-        pe_r=pe_r, pe_c=pe_c, P=P, Pp=Pp, vr=vr, vc=vc, dt=dt)
+        pe_r=pe_r, pe_c=pe_c, P=P, Pp=Pp, vr=vr, vc=vc, dt=dt, G=G)
     out_ref[0] = pooled
 
 
@@ -231,21 +253,24 @@ def _bwd_kernel(x0_ref, dp_ref, w0_r, b0_r, s0_r, t0_r, w1_r, b1_r,
                 dw0_ref, db0_ref, ds0_ref, dt0_ref,
                 dw1_ref, db1_ref, ds1_ref, dt1_ref,
                 dw2_ref, db2_ref, ds2_ref, dt2_ref,
-                *, pe_r, pe_c, P, Pp, vr, vc):
+                *, pe_r, pe_c, P, Pp, vr, vc, G):
     x0 = x0_ref[0]
     dt = x0.dtype
-    dp = dp_ref[0]                                            # [1, 64]
+    dp = dp_ref[0]                                            # [G, 64]
     w0, b0, s0, t0 = w0_r[...], b0_r[...], s0_r[...], t0_r[...]
     w1, b1, s1, t1 = w1_r[...], b1_r[...], s1_r[...], t1_r[...]
     w2, b2, s2, t2 = w2_r[...], b2_r[...], s2_r[...], t2_r[...]
-    mask, _ = _masks(pe_r, pe_c, Pp, vr, vc, jnp.float32)
+    GPp = G * Pp
+    mask, _ = _masks(pe_r, pe_c, Pp, vr, vc, jnp.float32, group=G)
 
     _, (r0, z1, r1, z2, r2, valid) = _fwd_stack(
         x0, w0, b0, s0, t0, w1, b1, s1, t1, w2, b2, s2, t2,
-        pe_r=pe_r, pe_c=pe_c, P=P, Pp=Pp, vr=vr, vc=vc, dt=dt)
+        pe_r=pe_r, pe_c=pe_c, P=P, Pp=Pp, vr=vr, vc=vc, dt=dt, G=G)
 
-    # pool -> bn2 -> relu -> conv2
-    dy2 = jnp.broadcast_to(dp * (1.0 / P), (Pp, 64)) * valid  # f32
+    # pool -> bn2 -> relu -> conv2 (per-image cotangent broadcast over
+    # that image's Pp rows)
+    dy2 = jnp.broadcast_to(
+        dp[:, None, :] * (1.0 / P), (G, Pp, 64)).reshape(GPp, 64) * valid
     ds2 = jnp.sum(dy2 * r2, axis=0, keepdims=True)
     dt2 = jnp.sum(dy2, axis=0, keepdims=True)
     g2 = dy2 * s2 * (r2 > 0.0)                                # [Pp, 64] f32
@@ -259,7 +284,7 @@ def _bwd_kernel(x0_ref, dp_ref, w0_r, b0_r, s0_r, t0_r, w1_r, b1_r,
     # lane-slice of one big dz2 — sliced wide vectors carry register
     # offsets Mosaic's rotate/concat lowering cannot reconcile.
     w2t = w2t_r[...]                                          # [64, 288]
-    da1 = [jnp.zeros((Pp, 32), jnp.float32) for _ in range(4)]
+    da1 = [jnp.zeros((GPp, 32), jnp.float32) for _ in range(4)]
     k = 0
     for di in (0, 1, 2):
         for dj in (0, 1, 2):
@@ -278,8 +303,8 @@ def _bwd_kernel(x0_ref, dp_ref, w0_r, b0_r, s0_r, t0_r, w1_r, b1_r,
     ds1 = dt1 = db1 = dw1 = None
     dz1p_g = []
     for p in range(4):
-        r1p = r1[p * Pp:(p + 1) * Pp, :]
-        z1p = z1[p * Pp:(p + 1) * Pp, :]
+        r1p = r1[p * GPp:(p + 1) * GPp, :]
+        z1p = z1[p * GPp:(p + 1) * GPp, :]
         d = da1[p]
         ds1p = jnp.sum(d * r1p, axis=0, keepdims=True)
         dt1p = jnp.sum(d, axis=0, keepdims=True)
@@ -295,7 +320,7 @@ def _bwd_kernel(x0_ref, dp_ref, w0_r, b0_r, s0_r, t0_r, w1_r, b1_r,
         dw1 = dw1p if dw1 is None else dw1 + dw1p
 
     # col2im conv1 -> dA0 per source plane (per-tap matmuls again)
-    da0 = [jnp.zeros((Pp, 64), jnp.float32) for _ in range(4)]
+    da0 = [jnp.zeros((GPp, 64), jnp.float32) for _ in range(4)]
     for op in (0, 1):
         for oq in (0, 1):
             g1pc = dz1p_g[op * 2 + oq]
@@ -315,8 +340,8 @@ def _bwd_kernel(x0_ref, dp_ref, w0_r, b0_r, s0_r, t0_r, w1_r, b1_r,
     # bn0 -> relu -> conv0, per plane
     ds0 = dt0 = db0 = dw0 = None
     for p in range(4):
-        r0p = r0[p * Pp:(p + 1) * Pp, :]
-        x0p = x0[p * Pp:(p + 1) * Pp, :]
+        r0p = r0[p * GPp:(p + 1) * GPp, :]
+        x0p = x0[p * GPp:(p + 1) * GPp, :]
         d = da0[p]
         ds0p = jnp.sum(d * r0p, axis=0, keepdims=True)
         dt0p = jnp.sum(d, axis=0, keepdims=True)
@@ -360,33 +385,37 @@ _MAT = {"w0": (64, 64), "w1": (256, 32), "w2": (288, 64)}
 
 
 @functools.lru_cache(maxsize=8)
-def _make_pooled_fn(hc: int, wc: int, interpret: bool):
+def _make_pooled_fn(hc: int, wc: int, interpret: bool, group: int = 1):
     pe_r, pe_c, P, Pp, vr, vc = _geom(hc, wc)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     wspecs = [vmem] * 12
-    geom = dict(pe_r=pe_r, pe_c=pe_c, P=P, Pp=Pp, vr=vr, vc=vc)
+    geom = dict(pe_r=pe_r, pe_c=pe_c, P=P, Pp=Pp, vr=vr, vc=vc,
+                G=group)
+    G = group
 
     def fwd_call(x0, ws):
-        b = x0.shape[0]
+        nb = x0.shape[0]                 # = batch / G
         kern = functools.partial(_fwd_kernel, **geom)
         return pl.pallas_call(
             kern,
-            grid=(b,),
-            in_specs=[pl.BlockSpec((1, 4 * Pp, 64), lambda i: (i, 0, 0))]
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((1, 4 * G * Pp, 64),
+                                   lambda i: (i, 0, 0))]
             + wspecs,
-            out_specs=pl.BlockSpec((1, 1, 64), lambda i: (i, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((b, 1, 64), jnp.float32),
+            out_specs=pl.BlockSpec((1, G, 64), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nb, G, 64), jnp.float32),
             interpret=interpret,
-        )(x0, *(ws[k] for k in _W_KEYS))[:, 0, :]
+        )(x0, *(ws[k] for k in _W_KEYS)).reshape(nb * G, 64)
 
     def bwd_call(x0, ws, dy):
-        b = x0.shape[0]
+        nb = x0.shape[0]
         kern = functools.partial(_bwd_kernel, **geom)
         grads = pl.pallas_call(
             kern,
-            grid=(b,),
-            in_specs=[pl.BlockSpec((1, 4 * Pp, 64), lambda i: (i, 0, 0)),
-                      pl.BlockSpec((1, 1, 64), lambda i: (i, 0, 0))]
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((1, 4 * G * Pp, 64),
+                                   lambda i: (i, 0, 0)),
+                      pl.BlockSpec((1, G, 64), lambda i: (i, 0, 0))]
             + wspecs + [vmem, vmem],
             out_specs=tuple(
                 pl.BlockSpec(_MAT.get(k, (1, _ROW.get(k, 0))),
@@ -397,7 +426,7 @@ def _make_pooled_fn(hc: int, wc: int, interpret: bool):
                                      jnp.float32)
                 for k in _W_KEYS),
             interpret=interpret,
-        )(x0, dy.reshape(b, 1, 64), *(ws[k] for k in _W_KEYS),
+        )(x0, dy.reshape(nb, G, 64), *(ws[k] for k in _W_KEYS),
           jnp.swapaxes(ws["w1"], 0, 1), jnp.swapaxes(ws["w2"], 0, 1))
         out = {}
         for k, g in zip(_W_KEYS, grads):
@@ -424,7 +453,7 @@ def _make_pooled_fn(hc: int, wc: int, interpret: bool):
 
 
 def encode_pooled(x_nhwc: jnp.ndarray, ws: dict,
-                  interpret: bool = False) -> jnp.ndarray:
+                  interpret: bool = False, group: int = 4) -> jnp.ndarray:
     """Fused CNN stack: normalized [B,H,W,1] image -> pooled [B,64] f32.
 
     GRADIENT CONTRACT: differentiates w.r.t. ``ws`` ONLY. The image
@@ -439,14 +468,24 @@ def encode_pooled(x_nhwc: jnp.ndarray, ws: dict,
     Matmul weights should be in the compute dtype (bf16 on TPU);
     biases/BN rows are kept f32 and applied in f32 like the XLA path's
     accumulation, then cast at layer boundaries.
+
+    ``group``: images stacked per kernel invocation (row axis) — taller
+    matmuls, fewer grid steps. Bounded by VMEM (the backward holds the
+    recomputed residuals of the whole group); the batch is zero-padded
+    up to a group multiple and the pad rows' outputs dropped.
     """
     b, h, w, _ = x_nhwc.shape
     # fail loudly rather than train with silently-zero image gradients:
     # pooled_bwd returns zeros for the image cotangent by design
     x_nhwc = jax.lax.stop_gradient(x_nhwc)
-    x0 = build_x0_planes(x_nhwc)
-    fn = _make_pooled_fn(h // 4, w // 4, interpret)
+    group = max(1, min(int(group), b))
+    b_pad = -(-b // group) * group
+    if b_pad != b:
+        x_nhwc = jnp.pad(x_nhwc, ((0, b_pad - b), (0, 0), (0, 0), (0, 0)))
+    x0 = build_x0_planes(x_nhwc, group=group)
+    fn = _make_pooled_fn(h // 4, w // 4, interpret, group)
     row = lambda a: a.reshape(1, -1).astype(jnp.float32)
     packed = {k: (ws[k].astype(x_nhwc.dtype) if k in _MAT else row(ws[k]))
               for k in _W_KEYS}
-    return fn(x0, packed)
+    out = fn(x0, packed)
+    return out[:b] if b_pad != b else out

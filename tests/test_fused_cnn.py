@@ -158,3 +158,51 @@ def test_pallas_vs_xla_parity_on_real_tpu():
         pytest.skip("no TPU backend on this host")
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "TPU_PARITY OK" in proc.stdout, proc.stdout
+
+
+def test_group_padding_parity(setup):
+    """group > 1 with a non-divisible batch: zero-pad rows must not leak
+    into outputs or parameter gradients (pad rows get zero cotangents
+    through the output slice's adjoint)."""
+    img, params = setup   # B = 3
+    from airgym_tpu.ops import fused_cnn
+
+    probe = jax.random.normal(jax.random.PRNGKey(5), (3, 30))
+
+    def run(group):
+        class Enc(CNNEncoder):
+            pass
+        # drive encode_pooled directly at the chosen group
+        import airgym_tpu.models.actor_critic as ac
+
+        def apply(p):
+            x = jnp.transpose(img, (0, 2, 3, 1))
+            w0, b0 = ac._FoldedConv0(features=16, name="conv0").apply(
+                {"params": p["params"]["conv0"]}, None, return_matrix=True)
+            s0, t0 = ac.FrozenBatchNorm(16, name="bn0").apply(
+                {"params": p["params"]["bn0"]})
+            w1, b1 = ac._CellConv1(features=32, in_features=16).apply(
+                {"params": p["params"]["conv1"]}, None, return_matrix=True)
+            s1, t1 = ac.FrozenBatchNorm(32).apply(
+                {"params": p["params"]["bn1"]})
+            k2 = p["params"]["conv2"]["kernel"]
+            b2 = p["params"]["conv2"]["bias"]
+            s2, t2 = ac.FrozenBatchNorm(64).apply(
+                {"params": p["params"]["bn2"]})
+            ws = {"w0": w0, "b0": b0, "s0": jnp.tile(s0, (4,)),
+                  "t0": jnp.tile(t0, (4,)), "w1": w1, "b1": b1,
+                  "s1": s1, "t1": t1, "w2": k2.reshape(288, 64),
+                  "b2": b2, "s2": s2, "t2": t2}
+            pooled = fused_cnn.encode_pooled(x, ws, interpret=True,
+                                             group=group)
+            return jnp.sum(pooled[:, :30] * probe)
+
+        return apply(params), jax.grad(
+            lambda p: apply(p))(params)["params"]["conv1"]["kernel"]
+
+    v2, g2 = run(2)       # batch 3, group 2 -> padded to 4
+    v1, g1 = run(1)       # no padding baseline
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-4, atol=1e-5)
