@@ -414,6 +414,8 @@ class Player:
             action = jnp.clip(mu, -1.0, 1.0)
             env_state, out = self.task.step(env_state, action)
             rec = {"reward": out.reward, "reset": out.reset}
+            if "success" in out.info:
+                rec["success"] = out.info["success"] & out.reset
             if record_dir is not None:
                 core = getattr(env_state, "core", env_state)
                 rec["root"] = core.root[:k_rec, :13]
@@ -436,10 +438,16 @@ class Player:
         rewards, resets = rec["reward"], rec["reset"]
         games = max(1, int(resets.sum()))
         mean_reward = float(rewards.sum() / games)
-        print(f"av reward: {mean_reward:.2f} games played: {games}")
+        result = {"mean_reward": mean_reward, "games": games,
+                  "steps": rewards.shape[0]}
+        line = f"av reward: {mean_reward:.2f} games played: {games}"
+        if "success" in rec:
+            # fraction of finished episodes that ended by goal reach
+            result["success_rate"] = float(rec["success"].sum()) / games
+            line += f" success_rate: {result['success_rate']:.3f}"
+        print(line)
         if record_dir is not None:
             from airgym_tpu.utils.episode_viz import dump_episode
             dump_episode(record_dir, rec)
             print(f"episode visualization -> {record_dir}")
-        return {"mean_reward": mean_reward, "games": games,
-                "steps": rewards.shape[0]}
+        return result
