@@ -201,6 +201,22 @@ def render_depth_auto(cfg: CameraCfg, root_states, scene,
 
 
 def render_and_process(cfg: CameraCfg, root_states, scene, key):
-    # postprocess clips at cfg.depth_clamp, so culling at that z is exact
-    return postprocess(cfg, render_depth_auto(
-        cfg, root_states, scene, cull_far_z=cfg.depth_clamp), key)
+    """Depth render + dump_images postprocess -> [N, 1, W, H].
+
+    On TPU the two stages run as ONE fused Pallas kernel
+    (render/pallas_raycast.render_process_pallas): the raw [N, W, H]
+    depth never round-trips HBM, and the per-env random 5x5 blur runs as
+    in-register rotates instead of a feature_group_count=N grouped conv.
+    Its noise comes from the kernel-resident hash RNG — distributionally
+    identical to this file's threefry ``postprocess`` (asserted in
+    tests/test_fused_render.py) but not bitwise; the exact fused pipeline
+    is mirrored by pallas_raycast.postprocess_hash.  Elsewhere (CPU
+    tests) the unfused XLA pipeline below is the oracle.
+    """
+    if jax.default_backend() == "tpu":
+        from airgym_tpu.render.pallas_raycast import render_process_pallas
+        # postprocess clips at depth_clamp, so culling at that z is exact
+        return render_process_pallas(cfg, root_states, scene, key,
+                                     interpret=False,
+                                     cull_far_z=cfg.depth_clamp)
+    return postprocess(cfg, render_depth(cfg, root_states, scene), key)

@@ -204,38 +204,10 @@ def cull_and_compact(table: jnp.ndarray, counts: tuple, origin: jnp.ndarray,
     return out, jnp.stack(dyn, axis=1)
 
 
-def _kernel(origin_ref, rot_ref, prims_ref, counts_ref, out_ref, acc_ref,
-            *, W, H, tan_h, tan_v, ground, counts, block_rows, guarded):
-    t_idx = pl.program_id(1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 0)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 1)
-    idx = (t_idx * block_rows + rows) * LANES + lanes       # flat ray id
-    u = (idx // H).astype(jnp.float32)
-    v = (idx % H).astype(jnp.float32)
-    in_range = idx < W * H
-
-    y = tan_h * (1.0 - 2.0 * (u + 0.5) / W)
-    z = tan_v * (1.0 - 2.0 * (v + 0.5) / H)
-
-    m = rot_ref[0, 0, :]                                     # 9 floats + pad
-    dx = m[0] + m[1] * y + m[2] * z
-    dy = m[3] + m[4] * y + m[5] * z
-    dz = m[6] + m[7] * y + m[8] * z
-    nsq = dx * dx + dy * dy + dz * dz
-    inv_norm = jax.lax.rsqrt(nsq)
-    # one Newton step: ~1e-7 relative error at rsqrt speed
-    inv_norm = inv_norm * (1.5 - 0.5 * nsq * inv_norm * inv_norm)
-    ux, uy, uz = dx * inv_norm, dy * inv_norm, dz * inv_norm
-
-    ox = origin_ref[0, 0, 0]
-    oy = origin_ref[0, 0, 1]
-    oz = origin_ref[0, 0, 2]
-
-    t_eu = jnp.full((block_rows, LANES), BIG, jnp.float32)
-    if ground:
-        uz_safe = jnp.where(jnp.abs(uz) < 1e-9, 1e-9, uz)
-        tg = (0.0 - oz) / uz_safe
-        t_eu = jnp.where(tg > 1e-6, jnp.minimum(t_eu, tg), t_eu)
+def _make_caster(prims_ref, ox, oy, oz, ux, uy, uz):
+    """Per-record ray intersection, shared by the depth-only and the
+    fused render+postprocess kernels.  Returns body(p, kind, t_eu) ->
+    updated running euclidean-t minimum."""
 
     def body(p, kind, t_eu):
         # kind is STATIC (pack_scene orders records cylinders|spheres|boxes)
@@ -347,31 +319,39 @@ def _kernel(origin_ref, rot_ref, prims_ref, counts_ref, out_ref, acc_ref,
 
         return jnp.minimum(t_eu, jnp.where(hit & (valid > 0.0), t_p, BIG))
 
-    # static unroll: all primitive loads become static VMEM scalar reads
-    # (a traced fori_loop index forces slow per-element dynamic gathers).
+    return body
+
+
+def _run_chain(body, t_init, counts, counts_ref, guarded, acc_ref):
+    """Fold every scene record into the running t minimum.
+
+    Static unroll: all primitive loads become static VMEM scalar reads
+    (a traced fori_loop index forces slow per-element dynamic gathers).
+
+    unguarded: one pure-value min-chain, accumulator lives in vector
+    registers end to end (the fastest shape when every record must run —
+    65.7 ms vs 79.9+ for any guarded variant).
+
+    guarded (culling on): records run in GROUP-sized blocks as pure-value
+    min-chains; each block is guarded by ONE pl.when on the per-env
+    survivor count from cull_and_compact (survivors are a segment
+    prefix). Guarding individual records instead (scalar branch + scratch
+    roundtrip per record) measured 3.5x SLOWER than no culling at all;
+    per-group guards cost ~30% unculled and win 1.7x once culling bites.
+    """
     n_cyl, n_sph, n_box, n_ann = counts
+    segs = [(n_cyl, 1), (n_sph, 2), (n_box, 3), (n_ann, 4)]
     if not guarded:
-        # no culling: one pure-value min-chain, accumulator lives in
-        # vector registers end to end (the fastest shape when every
-        # record must run — 65.7 ms vs 79.9+ for any guarded variant)
+        t_eu = t_init
         p = 0
-        for seg_n, kind in [(n_cyl, 1), (n_sph, 2), (n_box, 3),
-                            (n_ann, 4)]:
+        for seg_n, kind in segs:
             for _ in range(seg_n):
                 t_eu = body(p, kind, t_eu)
                 p += 1
-        out_ref[0, :, :] = jnp.where(in_range, t_eu * inv_norm, BIG)
-        return
-    # culled: records run in GROUP-sized blocks as pure-value min-chains;
-    # each block is guarded by ONE pl.when on the per-env survivor count
-    # from cull_and_compact (survivors are a segment prefix). Guarding
-    # individual records instead (scalar branch + scratch roundtrip per
-    # record) measured 3.5x SLOWER than no culling at all; per-group
-    # guards cost ~30% unculled and win 1.7x once culling bites.
-    acc_ref[:, :] = t_eu
+        return t_eu
+    acc_ref[:, :] = t_init
     p = 0
-    for slot, (seg_n, kind) in enumerate(
-            [(n_cyl, 1), (n_sph, 2), (n_box, 3), (n_ann, 4)]):
+    for slot, (seg_n, kind) in enumerate(segs):
         for g0 in range(0, seg_n, GROUP):
             @pl.when(g0 < counts_ref[0, 0, slot])
             def _(p=p, g=min(GROUP, seg_n - g0), kind=kind):
@@ -380,8 +360,46 @@ def _kernel(origin_ref, rot_ref, prims_ref, counts_ref, out_ref, acc_ref,
                     t = body(p + k, kind, t)
                 acc_ref[:, :] = t
             p += min(GROUP, seg_n - g0)
+    return acc_ref[:, :]
+
+
+def _kernel(origin_ref, rot_ref, prims_ref, counts_ref, out_ref, acc_ref,
+            *, W, H, tan_h, tan_v, ground, counts, block_rows, guarded):
+    t_idx = pl.program_id(1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 1)
+    idx = (t_idx * block_rows + rows) * LANES + lanes       # flat ray id
+    u = (idx // H).astype(jnp.float32)
+    v = (idx % H).astype(jnp.float32)
+    in_range = idx < W * H
+
+    y = tan_h * (1.0 - 2.0 * (u + 0.5) / W)
+    z = tan_v * (1.0 - 2.0 * (v + 0.5) / H)
+
+    m = rot_ref[0, 0, :]                                     # 9 floats + pad
+    dx = m[0] + m[1] * y + m[2] * z
+    dy = m[3] + m[4] * y + m[5] * z
+    dz = m[6] + m[7] * y + m[8] * z
+    nsq = dx * dx + dy * dy + dz * dz
+    inv_norm = jax.lax.rsqrt(nsq)
+    # one Newton step: ~1e-7 relative error at rsqrt speed
+    inv_norm = inv_norm * (1.5 - 0.5 * nsq * inv_norm * inv_norm)
+    ux, uy, uz = dx * inv_norm, dy * inv_norm, dz * inv_norm
+
+    ox = origin_ref[0, 0, 0]
+    oy = origin_ref[0, 0, 1]
+    oz = origin_ref[0, 0, 2]
+
+    t_eu = jnp.full((block_rows, LANES), BIG, jnp.float32)
+    if ground:
+        uz_safe = jnp.where(jnp.abs(uz) < 1e-9, 1e-9, uz)
+        tg = (0.0 - oz) / uz_safe
+        t_eu = jnp.where(tg > 1e-6, jnp.minimum(t_eu, tg), t_eu)
+
+    body = _make_caster(prims_ref, ox, oy, oz, ux, uy, uz)
+    t_eu = _run_chain(body, t_eu, counts, counts_ref, guarded, acc_ref)
     # perpendicular z-depth = t_euclid * inv_norm (camera dir has x == 1)
-    out_ref[0, :, :] = jnp.where(in_range, acc_ref[:, :] * inv_norm, BIG)
+    out_ref[0, :, :] = jnp.where(in_range, t_eu * inv_norm, BIG)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "ground", "interpret",
@@ -423,6 +441,287 @@ def _raycast(cfg: dr.CameraCfg, origins, rots, prims, counts_dyn,
         interpret=interpret,
     )(origins, rots, prims, counts_dyn[:, None, :])
     return out.reshape(n, rays_pad)[:, :rays].reshape(n, W, H)
+
+
+# ---------------------------------------------------------------------------
+# Fused render + postprocess: the [N, W, H] raw depth never leaves VMEM.
+#
+# The reference post-processing (customized.py:399-427: clamp/normalize,
+# additive + multiplicative noise with per-stage max clips, 5x5 random
+# unnormalized blur) ran as a separate XLA stage, forcing the raw depth
+# through HBM twice and lowering the per-env random blur as a
+# feature_group_count=N grouped convolution.  Here one grid step renders a
+# whole env's image into a (rows_pad, 128) block (W on sublanes, H on
+# lanes) and applies the full pipeline in registers.
+#
+# Noise comes from the same counter-based hash RNG as the fused rollout
+# kernels (ops/fused_hovering._make_uniform): identical on TPU and in
+# interpret mode, mirrored bit-for-bit by postprocess_hash() below, which
+# is both the CPU oracle for the parity test and the documentation of the
+# exact draw order.  Distribution parity with the jax.random reference
+# pipeline (threefry) is asserted statistically in tests.
+# ---------------------------------------------------------------------------
+
+_TAP_SALT = 0xA511E9B3
+_TAP_STEP = 0x63D83595
+
+
+def _image_rows_pad(w: int) -> int:
+    """Sublane rows for a whole-image block: >= W + 2 zero rows so the
+    5x5 blur's rotate-based shifts wrap only zeros, rounded to 8."""
+    return -(-(w + 2) // 8) * 8
+
+
+def _env_seeds(seed, n: int) -> jnp.ndarray:
+    """Per-env base keys [N] uint32 (fused_hovering-style per-tile fold)."""
+    i = jnp.arange(n, dtype=jnp.uint32)
+    return (jnp.asarray(seed, jnp.uint32)
+            + i * jnp.uint32(0x01000193))
+
+
+def _hash_kernel_taps(env_seeds: jnp.ndarray) -> jnp.ndarray:
+    """25 random 5x5 blur taps per env, values in {0..255}/256 — the hash
+    twin of the reference's randint(0,256)/256 kernel (customized.py:416).
+    Returned padded to [N, 1, 32] f32 for a clean VMEM block."""
+    from airgym_tpu.ops.fused_hovering import _mix
+    j = jnp.arange(25, dtype=jnp.uint32)
+    salts = (jnp.uint32(_TAP_SALT) + j * jnp.uint32(_TAP_STEP))
+    bits = _mix(env_seeds[:, None] * jnp.uint32(0x9E3779B9) ^ salts[None])
+    k = (bits >> jnp.uint32(24)).astype(jnp.float32) / 256.0
+    return jnp.pad(k, ((0, 0), (0, 7)))[:, None, :]
+
+
+def _postprocess_block(x, in_img, draw, taps_at, rows_pad, clamp):
+    """Shared postprocess math on one (rows_pad, LANES) block.
+
+    x: euclidean-free z-depth (already *inv_norm), any value >= 0.
+    draw(): next (rows_pad, LANES) uniform [0,1) draw (4 consumed).
+    taps_at(j): j-th blur tap as a scalar (or [N,1,1] outside pallas).
+    Mirrors dr.postprocess stage-for-stage; padding pixels are kept at 0
+    so the rotate-based SAME blur wraps only zeros.
+    """
+    x = jnp.clip(x, 0.0, clamp) / clamp
+    x = jnp.where(in_img, x, 0.0)
+
+    def normal():
+        u1 = jnp.clip(draw(), 1e-7, 1.0)
+        u2 = draw()
+        return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * np.pi * u2)
+
+    mx = jnp.max(x, axis=1, keepdims=True)
+    mx = jnp.max(mx, axis=0, keepdims=True)
+    x = jnp.where(in_img,
+                  jnp.minimum(jnp.maximum(x + 0.1 * normal(), 0.0), mx), 0.0)
+    mx = jnp.max(x, axis=1, keepdims=True)
+    mx = jnp.max(mx, axis=0, keepdims=True)
+    x = jnp.where(in_img,
+                  jnp.minimum(jnp.maximum(x * (1.0 + 0.3 * normal()), 0.0),
+                              mx), 0.0)
+
+    blur = jnp.zeros_like(x)
+    for a in range(5):
+        xs = pltpu.roll(x, (2 - a) % rows_pad, 0)
+        for b in range(5):
+            blur = blur + taps_at(a * 5 + b) * pltpu.roll(
+                xs, (2 - b) % LANES, 1)
+    return jnp.where(in_img, blur, 0.0)
+
+
+def _kernel_image(origin_ref, rot_ref, prims_ref, counts_ref, seed_ref,
+                  taps_ref, out_ref, acc_ref, *, W, H, rows_pad, tan_h,
+                  tan_v, ground, counts, guarded, clamp):
+    from airgym_tpu.ops.fused_hovering import _make_uniform
+
+    u = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, LANES), 0)  # width
+    v = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, LANES), 1)  # height
+    in_img = (u < W) & (v < H)
+    uf = u.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    y = tan_h * (1.0 - 2.0 * (uf + 0.5) / W)
+    z = tan_v * (1.0 - 2.0 * (vf + 0.5) / H)
+
+    m = rot_ref[0, 0, :]
+    dx = m[0] + m[1] * y + m[2] * z
+    dy = m[3] + m[4] * y + m[5] * z
+    dz = m[6] + m[7] * y + m[8] * z
+    nsq = dx * dx + dy * dy + dz * dz
+    inv_norm = jax.lax.rsqrt(nsq)
+    inv_norm = inv_norm * (1.5 - 0.5 * nsq * inv_norm * inv_norm)
+    ux, uy, uz = dx * inv_norm, dy * inv_norm, dz * inv_norm
+
+    ox = origin_ref[0, 0, 0]
+    oy = origin_ref[0, 0, 1]
+    oz = origin_ref[0, 0, 2]
+
+    t_eu = jnp.full((rows_pad, LANES), BIG, jnp.float32)
+    if ground:
+        uz_safe = jnp.where(jnp.abs(uz) < 1e-9, 1e-9, uz)
+        tg = (0.0 - oz) / uz_safe
+        t_eu = jnp.where(tg > 1e-6, jnp.minimum(t_eu, tg), t_eu)
+
+    body = _make_caster(prims_ref, ox, oy, oz, ux, uy, uz)
+    t_eu = _run_chain(body, t_eu, counts, counts_ref, guarded, acc_ref)
+
+    draw = _make_uniform(seed_ref[0, 0, 0], (rows_pad, LANES))
+    out_ref[0, :, :] = _postprocess_block(
+        t_eu * inv_norm, in_img, draw,
+        lambda j: taps_ref[0, 0, j], rows_pad, clamp)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "ground", "interpret",
+                                             "counts", "guarded"))
+def _raycast_process(cfg: dr.CameraCfg, origins, rots, prims, counts_dyn,
+                     seeds, taps, ground: bool, interpret: bool,
+                     counts: tuple, guarded: bool = False):
+    n = origins.shape[0]
+    W, H = cfg.width, cfg.height
+    rows_pad = _image_rows_pad(W)
+    tan_h = float(np.tan(np.radians(cfg.horizontal_fov_deg) / 2.0))
+    tan_v = tan_h * H / W
+
+    kernel = functools.partial(
+        _kernel_image, W=W, H=H, rows_pad=rows_pad, tan_h=tan_h,
+        tan_v=tan_v, ground=ground, counts=counts, guarded=guarded,
+        clamp=float(cfg.depth_clamp))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 16), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, prims.shape[1], 12), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 32), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows_pad, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, rows_pad, LANES), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rows_pad, LANES), jnp.float32)],
+        interpret=interpret,
+    )(origins, rots, prims, counts_dyn[:, None, :],
+      seeds[:, None, None], taps)
+    return out[:, :W, :H][:, None]                       # [N, 1, W, H]
+
+
+def _key_to_seed(key) -> jnp.ndarray:
+    """Fold a jax PRNG key (typed or raw uint32[2]) to one uint32."""
+    if hasattr(key, "dtype") and jnp.issubdtype(key.dtype,
+                                                jax.dtypes.prng_key):
+        key = jax.random.key_data(key)
+    kd = jnp.asarray(key, jnp.uint32).reshape(-1)
+    return kd[0] ^ (kd[-1] * jnp.uint32(0x9E3779B9))
+
+
+def render_process_pallas(cfg: dr.CameraCfg, root_states: jnp.ndarray,
+                          scene: "dr.SceneForRender", key,
+                          interpret: Optional[bool] = None,
+                          cull_far_z: Optional[float] = None) -> jnp.ndarray:
+    """Fused drop-in for dr.postprocess(dr.render_depth(...)): one kernel
+    invocation per env renders and post-processes the whole image without
+    the raw depth ever reaching HBM.  Output [N, 1, W, H].
+
+    Noise uses the in-kernel hash RNG (same family as the fused rollout
+    kernels), not jax.random threefry — distributionally identical to the
+    reference pipeline, mirrored exactly by postprocess_hash().
+    """
+    from airgym_tpu.math import rotations as rot
+
+    if cfg.height > LANES - 2:
+        raise ValueError(f"fused render+process requires H <= {LANES - 2}")
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    n = root_states.shape[0]
+    q = root_states[:, 3:7]
+    m = rot.quat_to_matrix(q).reshape(n, 9)
+    rots = jnp.pad(m, ((0, 0), (0, 7))).astype(jnp.float32)[:, None, :]
+    origin = root_states[:, 0:3] + rot.quat_rotate(
+        q, jnp.asarray(cfg.mount_pos, root_states.dtype))
+    prims, counts = pack_scene(n, scene)
+    if cull_far_z is not None and prims.shape[1] <= 16:
+        cull_far_z = None
+    if cull_far_z is not None:
+        forward = m[:, [0, 3, 6]].astype(jnp.float32)
+        prims, counts_dyn = cull_and_compact(
+            prims, counts, origin.astype(jnp.float32), forward,
+            float(cull_far_z), _corner_tan(cfg))
+    else:
+        counts_dyn = jnp.broadcast_to(
+            jnp.asarray(counts, jnp.int32)[None], (n, 4))
+    origins = jnp.pad(origin, ((0, 0), (0, 5))).astype(
+        jnp.float32)[:, None, :]
+    seeds = _env_seeds(_key_to_seed(key), n)
+    taps = _hash_kernel_taps(seeds)
+    return _raycast_process(cfg, origins, rots, prims, counts_dyn, seeds,
+                            taps, bool(scene.ground), bool(interpret),
+                            counts, guarded=cull_far_z is not None)
+
+
+def postprocess_hash(cfg: dr.CameraCfg, depth: jnp.ndarray,
+                     key) -> jnp.ndarray:
+    """Plain-jnp mirror of the fused kernel's postprocess stage: same hash
+    RNG, same draw order, same rotate-based blur — the CPU oracle the
+    parity test compares render_process_pallas against, and the exact
+    spec of its noise. depth: raw z-depth [N, W, H] (dr.render_depth)."""
+    from airgym_tpu.ops.fused_hovering import _mix
+
+    n, w, h = depth.shape
+    rows_pad = _image_rows_pad(w)
+    x = jnp.pad(depth, ((0, 0), (0, rows_pad - w), (0, LANES - h)))
+
+    seeds = _env_seeds(_key_to_seed(key), n)
+    taps = _hash_kernel_taps(seeds)                        # [N, 1, 32]
+
+    rows = jnp.arange(rows_pad, dtype=jnp.uint32)[:, None]
+    lanes_2d = rows * jnp.uint32(LANES) + jnp.arange(
+        LANES, dtype=jnp.uint32)[None, :]
+    counter = [0]
+
+    def draw():
+        counter[0] += 1
+        bits = _mix(seeds[:, None, None] * jnp.uint32(0x9E3779B9)
+                    ^ (lanes_2d[None] + jnp.uint32(0x85EBCA6B))
+                    ^ (jnp.uint32(counter[0]) * jnp.uint32(0xC2B2AE35)))
+        return (bits >> jnp.uint32(1)).astype(jnp.float32) * (
+            1.0 / 2147483648.0)
+
+    u = jnp.arange(rows_pad)[None, :, None]
+    v = jnp.arange(LANES)[None, None, :]
+    in_img = (u < w) & (v < h)
+
+    # _postprocess_block over the batched [N, rows_pad, LANES] array:
+    # identical math, with per-env keepdims maxes and [N,1,1] taps
+    y = jnp.clip(x, 0.0, cfg.depth_clamp) / cfg.depth_clamp
+    y = jnp.where(in_img, y, 0.0)
+
+    def normal():
+        u1 = jnp.clip(draw(), 1e-7, 1.0)
+        u2 = draw()
+        return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * np.pi * u2)
+
+    mx = jnp.max(y, axis=(1, 2), keepdims=True)
+    y = jnp.where(in_img,
+                  jnp.minimum(jnp.maximum(y + 0.1 * normal(), 0.0), mx), 0.0)
+    mx = jnp.max(y, axis=(1, 2), keepdims=True)
+    y = jnp.where(in_img,
+                  jnp.minimum(jnp.maximum(y * (1.0 + 0.3 * normal()), 0.0),
+                              mx), 0.0)
+
+    blur = jnp.zeros_like(y)
+    for a in range(5):
+        ys = jnp.roll(y, (2 - a) % rows_pad, 1)
+        for b in range(5):
+            blur = blur + taps[:, :, a * 5 + b, None] * jnp.roll(
+                ys, (2 - b) % LANES, 2)
+    blur = jnp.where(in_img, blur, 0.0)
+    return blur[:, :w, :h][:, None]
 
 
 def render_depth_pallas(cfg: dr.CameraCfg, root_states: jnp.ndarray,
