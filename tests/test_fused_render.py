@@ -11,6 +11,7 @@ uniform taps in {0..255}/256, N(0,1) Box-Muller normals, and matching
 final-image moments.
 """
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -121,3 +122,49 @@ def test_render_and_process_cpu_path_unchanged():
     ref = dr.postprocess(SMALL_CAM, dr.render_depth(SMALL_CAM, root, scene),
                          key)
     np.testing.assert_allclose(np.array(out), np.array(ref))
+
+
+@pytest.mark.slow
+def test_fused_render_parity_on_real_tpu():
+    """Mosaic-lowering parity on real hardware: interpret mode cannot
+    exercise pltpu.roll lowering, the SMEM guard branches, or the VMEM
+    whole-image block tiling at the full 212x120 resolution. Compares
+    the fused kernel against the postprocess_hash mirror applied to the
+    XLA renderer's raw depth (same contract as the interpret-mode test,
+    on the chip, full camera). Runs in a subprocess WITHOUT conftest's
+    CPU forcing; skips when the host has no TPU backend."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("JAX_PLATFORM_NAME", None)
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np\n"
+        "if jax.default_backend() != 'tpu':\n"
+        "    print('NO_TPU'); raise SystemExit(0)\n"
+        "import tests.test_fused_render as tf\n"
+        "from airgym_tpu.render import depth as dr\n"
+        "from airgym_tpu.render import pallas_raycast as pr\n"
+        "cam = dr.CameraCfg()\n"
+        "scene = tf.make_scene(4)\n"
+        "root = tf.roots(4)\n"
+        "key = jax.random.PRNGKey(7)\n"
+        "for cull in (None, cam.depth_clamp):\n"
+        "    fused = np.array(pr.render_process_pallas(\n"
+        "        cam, root, scene, key, interpret=False, cull_far_z=cull))\n"
+        "    raw = dr.render_depth(cam, root, scene)\n"
+        "    mirror = np.array(pr.postprocess_hash(cam, raw, key))\n"
+        "    d = float(np.abs(fused - mirror).max())\n"
+        "    print('cull', cull, 'max diff', d)\n"
+        "    assert d < 1e-4, d\n"
+        "print('TPU_RENDER_PARITY OK')\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                          capture_output=True, text=True, timeout=900)
+    if "NO_TPU" in proc.stdout:
+        pytest.skip("no TPU backend on this host")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "TPU_RENDER_PARITY OK" in proc.stdout, proc.stdout
