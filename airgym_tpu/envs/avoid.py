@@ -38,6 +38,10 @@ class AvoidCfg(base.BaseEnvCfg):
     reset_on_collision: bool = True
     create_ground_plane: bool = True
     cam_dt: float = 0.04
+    # depth camera resolution (reference customized_config.py camera
+    # block: 212x120); override for cheaper CI cameras or other sensors
+    cam_width: int = 212
+    cam_height: int = 120
     target_pos: tuple = (0.0, 0.0, 1.0)   # target_state[9:12], avoid_config
     enable_onboard_cameras: bool = True
 
@@ -87,7 +91,8 @@ class Avoid(base.QuadEnvCore):
 
     def __init__(self, cfg: AvoidCfg = AvoidCfg(), **kw):
         super().__init__(cfg, **kw)
-        self.cam_cfg = dr.CameraCfg()
+        self.cam_cfg = dr.CameraCfg(width=cfg.cam_width,
+                                    height=cfg.cam_height)
         self.obs_spec = {
             "image": (cfg.num_envs, 1, self.cam_cfg.width,
                       self.cam_cfg.height),

@@ -41,6 +41,10 @@ class CustomizedCfg(base.BaseEnvCfg):
     reset_on_collision: bool = True
     create_ground_plane: bool = True
     cam_dt: float = 0.04
+    # depth camera resolution (reference customized_config.py camera
+    # block: 212x120); override for cheaper CI cameras or other sensors
+    cam_width: int = 212
+    cam_height: int = 120
     enable_onboard_cameras: bool = True
     target_state: tuple = (1., 0., 0., 0., 1., 0., 0., 0., 1.,
                            0., 0., 0., 0., 0., 0., 0., 0., 0.)
@@ -70,7 +74,8 @@ class Customized(base.QuadEnvCore):
 
     def __init__(self, cfg: CustomizedCfg = CustomizedCfg(), **kw):
         super().__init__(cfg, **kw)
-        self.cam_cfg = dr.CameraCfg()
+        self.cam_cfg = dr.CameraCfg(width=cfg.cam_width,
+                                    height=cfg.cam_height)
         self.manager = AssetManager(cfg.asset_config, cfg.num_envs)
         self.target = jnp.asarray(cfg.target_state,
                                   dtype=cfg.dtype)[None].repeat(

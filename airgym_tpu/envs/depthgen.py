@@ -47,6 +47,10 @@ class DepthGenCfg(base.BaseEnvCfg):
     episode_length_s: float = 8.0     # unused: episodes are 2 steps
     create_ground_plane: bool = True
     cam_dt: float = 0.04
+    # depth camera resolution (reference customized_config.py camera
+    # block: 212x120); override for cheaper CI cameras or other sensors
+    cam_width: int = 212
+    cam_height: int = 120
     num_thin: int = 3
     num_trees: int = 3
     num_cubes: int = 3
@@ -89,7 +93,8 @@ class DepthGen(base.QuadEnvCore):
 
     def __init__(self, cfg: DepthGenCfg = DepthGenCfg(), **kw):
         super().__init__(cfg, **kw)
-        self.cam_cfg = dr.CameraCfg()
+        self.cam_cfg = dr.CameraCfg(width=cfg.cam_width,
+                                    height=cfg.cam_height)
         self.target = jnp.zeros((cfg.num_envs, 18), dtype=cfg.dtype)
         self.target = self.target.at[:, 0].set(1.0).at[:, 4].set(
             1.0).at[:, 8].set(1.0)

@@ -48,6 +48,10 @@ class MAPlanningCfg(base.BaseEnvCfg):
     episode_length_s: float = 16.0
     create_ground_plane: bool = True
     cam_dt: float = 0.04
+    # depth camera resolution (reference customized_config.py camera
+    # block: 212x120); override for cheaper CI cameras or other sensors
+    cam_width: int = 212
+    cam_height: int = 120
     num_robots: int = 4               # X152b num_assets
 
     @property
@@ -76,7 +80,8 @@ class MAPlanning(base.QuadEnvCore):
 
     def __init__(self, cfg: MAPlanningCfg = MAPlanningCfg(), **kw):
         super().__init__(cfg, **kw)
-        self.cam_cfg = dr.CameraCfg()
+        self.cam_cfg = dr.CameraCfg(width=cfg.cam_width,
+                                    height=cfg.cam_height)
         self.num_obs = 16 + 2 * cfg.num_robots
         self.flat_n = cfg.num_envs * cfg.num_robots
         self.obs_spec = {

@@ -51,6 +51,10 @@ class PlanningCfg(base.BaseEnvCfg):
     reset_on_collision: bool = True
     create_ground_plane: bool = True
     cam_dt: float = 0.04
+    # depth camera resolution (reference customized_config.py camera
+    # block: 212x120); override for cheaper CI cameras or other sensors
+    cam_width: int = 212
+    cam_height: int = 120
     num_trees: int = 40
     # curriculum knob: start the drone at this x instead of the reference
     # -LENGTH-0.5 (a shorter corridor makes the +200 goal bonus reachable
@@ -86,7 +90,8 @@ class Planning(base.QuadEnvCore):
 
     def __init__(self, cfg: PlanningCfg = PlanningCfg(), **kw):
         super().__init__(cfg, **kw)
-        self.cam_cfg = dr.CameraCfg()
+        self.cam_cfg = dr.CameraCfg(width=cfg.cam_width,
+                                    height=cfg.cam_height)
         self.obs_spec = {
             "image": (cfg.num_envs, 1, self.cam_cfg.width,
                       self.cam_cfg.height),

@@ -24,3 +24,14 @@ jax.config.update("jax_platforms", "cpu")
 # Numerical tests compare against fp64/analytic references; don't let the
 # backend silently run matmuls in bf16.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# The suite is compile-dominated on this 1-CPU host (planning/avoid train
+# epochs cost ~1 min of XLA CPU compile EACH, and the donation/dedup
+# guards intentionally compile several variants).  Persist those compiles
+# across runs — same policy switch as the user entry points
+# (AIRGYM_TPU_NO_CACHE=1 opts out, JAX_COMPILATION_CACHE_DIR overrides).
+# Cache keys include platform/flags, so the 8-virtual-device CPU entries
+# never collide with the TPU entries the runners write.
+from airgym_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

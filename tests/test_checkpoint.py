@@ -62,7 +62,7 @@ def test_load_reference_planning_checkpoint():
     """The shipped rl_games-format planning CNN checkpoint must load into
     our Planning model and produce finite actions."""
     task = envs.make_task("planning", ctl_mode="rate", num_envs=2,
-                          obs_noise=False)
+                          obs_noise=False, num_trees=6)
     tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(horizon=2, minibatch_size=4),
                      network_kw={"image_encoder": "cnn",
                                  "image_feature_dim": 30})
@@ -89,7 +89,7 @@ def test_mlp_to_cnn_partial_transfer(tmp_path):
     ckpt.export_pth(path, ts_mlp)
 
     task = envs.make_task("planning", ctl_mode="rate", num_envs=2,
-                          obs_noise=False)
+                          obs_noise=False, num_trees=6)
     tr_cnn = ppo_mod.PPO(task, ppo_mod.PPOConfig(horizon=2,
                                                  minibatch_size=4),
                          network_kw={"image_encoder": "cnn",
@@ -114,7 +114,7 @@ def test_pth_roundtrip_dict_obs(tmp_path):
     """CNN model + dict obs running stats export/import (the
     running_mean_std.running_mean_std.{image,observation} key family)."""
     task = envs.make_task("planning", ctl_mode="rate", num_envs=2,
-                          obs_noise=False)
+                          obs_noise=False, num_trees=6)
     tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(horizon=2, minibatch_size=4),
                      network_kw={"image_encoder": "cnn",
                                  "image_feature_dim": 30})
@@ -169,7 +169,7 @@ def test_reference_torch_model_loads_our_export(tmp_path):
             sys.modules.pop("torchvision.models", None)
 
     task = envs.make_task("planning", ctl_mode="rate", num_envs=2,
-                          obs_noise=False)
+                          obs_noise=False, num_trees=6)
     tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(horizon=2, minibatch_size=4),
                      network_kw={"image_encoder": "cnn",
                                  "image_feature_dim": 30})

@@ -18,17 +18,28 @@ import airgym_tpu.envs as envs
 from airgym_tpu.rl import ppo as ppo_mod
 
 
-def _trainer(name, ctl, n=16):
-    task = envs.make_task(name, ctl_mode=ctl, num_envs=n)
+def _trainer(name, ctl, n=16, full_cam=False):
+    """Donation/dedup semantics don't depend on forest size or camera
+    resolution, and on the 1-CPU suite host the 212x120 conv work + the
+    40-tree render chain dominate wall-clock; default to a small scene
+    and camera, with full_cam=True for the one full-size driver guard."""
+    kw = {}
+    if name == "planning":
+        kw["num_trees"] = 6
+        if not full_cam:
+            kw.update(cam_width=64, cam_height=32)
+    task = envs.make_task(name, ctl_mode=ctl, num_envs=n, **kw)
     return ppo_mod.PPO(task, ppo_mod.PPOConfig(
         horizon=8, minibatch_size=2 * n, mini_epochs=2))
 
 
 def test_dict_obs_donation_runs():
-    tr = _trainer("planning", "vel")
+    # full-size camera: this is THE driver-config guard — the first call
+    # creates the donated buffers, the second consumes them
+    tr = _trainer("planning", "vel", full_cam=True)
     ts = tr.init(jax.random.PRNGKey(0))
     step = tr.make_train_epoch()            # donation ON by default
-    for _ in range(3):
+    for _ in range(2):
         ts, m = step(ts)
     assert jnp.isfinite(m["mean_reward"])
     assert jnp.isfinite(m["a_loss"])
@@ -48,13 +59,20 @@ def test_trainstate_obs_carries_no_image():
     tr = _trainer("planning", "vel")
     ts = tr.init(jax.random.PRNGKey(0))
     assert isinstance(ts.obs, dict) and "image" not in ts.obs
-    step = tr.make_train_epoch(donate=False)
+    # donate=True: same HLO as test_dict_obs_donation_runs -> compile
+    # cache hit (donate=False would be a second heavy unique compile);
+    # ts is consumed but all asserts are on ts2
+    step = tr.make_train_epoch()
     ts2, _ = step(ts)
     assert "image" not in ts2.obs
 
 
+@pytest.mark.slow
 def test_donation_matches_no_donation():
-    """Donation is an aliasing optimization — numerics must be identical."""
+    """Donation is an aliasing optimization — numerics must be identical.
+
+    slow: compiles the planning train epoch TWICE (donate on/off) — the
+    donate=True driver guard itself stays in the fast tier above."""
     tr = _trainer("planning", "vel")
     ts_a = tr.init(jax.random.PRNGKey(7))
     ts_b = tr.init(jax.random.PRNGKey(7))
@@ -85,10 +103,14 @@ def test_rollout_images_stored_bf16():
     assert traj.obs["observation"].dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_frame_dedup_reconstructs_full_rollout():
     """frames[frame_idx[h], n] must equal the naive per-step image store
-    for every (h, n) — the dedup is exact, not an approximation."""
-    task = envs.make_task("planning", ctl_mode="vel", num_envs=8)
+    for every (h, n) — the dedup is exact, not an approximation.
+
+    slow: compiles two full rollouts (dedup + naive image store)."""
+    task = envs.make_task("planning", ctl_mode="vel", num_envs=8,
+                          num_trees=6, cam_width=64, cam_height=32)
     cfg = ppo_mod.PPOConfig(horizon=8, minibatch_size=16, mini_epochs=1)
     import dataclasses
     tr_d = ppo_mod.PPO(task, cfg)
@@ -115,7 +137,8 @@ def test_frame_dedup_reconstructs_full_rollout():
 def test_scan_layout_minibatch_extraction_exact():
     """update()'s env-major image minibatches must equal the naive
     full-transpose path, including spans that cut mid-trajectory."""
-    task = envs.make_task("planning", ctl_mode="vel", num_envs=16)
+    task = envs.make_task("planning", ctl_mode="vel", num_envs=16,
+                          num_trees=6, cam_width=64, cam_height=32)
     tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(
         horizon=12, minibatch_size=16, mini_epochs=1))
     H, N = 12, 16
@@ -126,11 +149,17 @@ def test_scan_layout_minibatch_extraction_exact():
         assert jnp.array_equal(got, flat[k * 16:(k + 1) * 16])
 
 
+@pytest.mark.slow
 def test_feature_dedup_loss_matches_full_image_path():
     """Encoding unique frames + gathering features must give the same
     loss and gradients as running the encoder per sample on the gathered
-    full-image minibatch."""
-    task = envs.make_task("planning", ctl_mode="vel", num_envs=8)
+    full-image minibatch.
+
+    slow: f32-conv loss gradients both ways — two heavy autodiff
+    compiles. The dedup path's basic liveness stays fast-tier via
+    test_dict_obs_donation_runs."""
+    task = envs.make_task("planning", ctl_mode="vel", num_envs=8,
+                          num_trees=6, cam_width=64, cam_height=32)
     # f32 convs for the comparison: in bf16 the conv BIAS grads (100k-term
     # sums with heavy cancellation) carry accumulation noise larger than
     # their net value, masking real wiring bugs
@@ -181,7 +210,8 @@ def test_frame_dedup_phase_guard_rejects_misaligned_counter():
     """make_train_epoch's phase check must reject an env counter that is
     not a multiple of cam_every (the dedup rollout's block alignment
     contract) and accept an aligned one."""
-    task = envs.make_task("planning", ctl_mode="vel", num_envs=8)
+    task = envs.make_task("planning", ctl_mode="vel", num_envs=8,
+                          num_trees=6, cam_width=64, cam_height=32)
     tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(
         horizon=8, minibatch_size=16, mini_epochs=1))
     ts = tr.init(jax.random.PRNGKey(0))

@@ -29,7 +29,8 @@ def test_dump_episode_artifacts(tmp_path):
 
 
 def test_player_records_vision_task(tmp_path):
-    task = envs.make_task("planning", ctl_mode="vel", num_envs=4)
+    task = envs.make_task("planning", ctl_mode="vel", num_envs=4,
+                          num_trees=6, cam_width=64, cam_height=32)
     tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(horizon=8, minibatch_size=8,
                                              mini_epochs=1))
     player = Player(task, tr)

@@ -61,13 +61,18 @@ def test_env_state_is_actually_sharded():
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_vision_task_with_frame_dedup():
     """Vision train epoch (dict obs + frame-dedup gather) under env-axis
     sharding: runs, stays finite, and matches the unsharded trajectory.
     The dedup minibatch gather indexes [frame, env] pairs — env ids cross
     shard boundaries, which XLA must resolve without changing numerics."""
-    task = envs.make_task("planning", ctl_mode="vel", num_envs=16)
+    # num_trees=6: sharding semantics don't depend on forest size, and the
+    # 40-tree unrolled render chain dominates the (double: unsharded +
+    # sharded) CPU compile on the 1-CPU suite host
+    task = envs.make_task("planning", ctl_mode="vel", num_envs=16,
+                          num_trees=6, cam_width=64, cam_height=32)
     tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(
         horizon=8, minibatch_size=32, mini_epochs=2))
     assert tr.frame_dedup

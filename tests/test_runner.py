@@ -178,7 +178,8 @@ def test_separate_vision_rejected():
     we refuse it loudly instead."""
     import airgym_tpu.envs as envs
     from airgym_tpu.rl import ppo as ppo_mod
-    task = envs.make_task("planning", ctl_mode="rate", num_envs=4)
+    task = envs.make_task("planning", ctl_mode="rate", num_envs=4,
+                          num_trees=6, cam_width=64, cam_height=32)
     trainer = ppo_mod.PPO(task, ppo_mod.PPOConfig(horizon=4,
                                                   minibatch_size=8),
                           network_kw={"image_encoder": "cnn",

@@ -134,8 +134,10 @@ def test_planning_contract():
 
 
 def test_planning_reach_goal():
+    # num_trees=6: the reach-goal reward doesn't depend on forest size,
+    # and the 40-tree unrolled render chain dominates CPU compile time
     task = envs.make_task("planning", ctl_mode="rate", num_envs=4,
-                          obs_noise=False)
+                          obs_noise=False, num_trees=6)
     s = task.initial_state(jax.random.PRNGKey(4))
     root = s.core.root.at[0, 0:3].set(s.goal[0])
     s = s._replace(core=s.core._replace(root=root,
@@ -149,7 +151,8 @@ def test_planning_vae_encoder_trains():
     """The third encoder family (VAE latent obs) trains end to end."""
     from airgym_tpu.rl import ppo as ppo_mod
     task = envs.make_task("planning", ctl_mode="rate", num_envs=4,
-                          obs_noise=False)
+                          obs_noise=False, num_trees=6,
+                          cam_width=64, cam_height=32)
     tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(horizon=4, minibatch_size=8),
                      network_kw={"image_encoder": "vae",
                                  "vae_latent_dim": 64})
@@ -166,7 +169,9 @@ def test_static_render_flag_matches_dynamic_cadence(name):
     """step(render=True/False) must equal the render=None lax.cond path
     step-for-step when the static schedule follows the counter cadence
     (the contract the frame-dedup rollout relies on)."""
-    kw = {"num_envs": 2} if name != "maplanning" else {"num_envs": 2}
+    kw = {"num_envs": 2, "cam_width": 64, "cam_height": 32}
+    if name == "planning":
+        kw["num_trees"] = 6     # cadence contract is scene-size-agnostic
     task = envs.make_task(name, ctl_mode="vel", **kw)
     ce = task.cfg.cam_every
     s_dyn = task.initial_state(jax.random.PRNGKey(11))
