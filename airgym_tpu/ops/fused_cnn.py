@@ -385,17 +385,18 @@ _MAT = {"w0": (64, 64), "w1": (256, 32), "w2": (288, 64)}
 
 
 @functools.lru_cache(maxsize=8)
-def _make_pooled_fn(hc: int, wc: int, interpret: bool, group: int = 1):
+def _make_pooled_fn(hc: int, wc: int, interpret: bool, group: int = 1,
+                    bwd_group: int = 1):
     pe_r, pe_c, P, Pp, vr, vc = _geom(hc, wc)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     wspecs = [vmem] * 12
-    geom = dict(pe_r=pe_r, pe_c=pe_c, P=P, Pp=Pp, vr=vr, vc=vc,
-                G=group)
     G = group
+    Gb = bwd_group
 
     def fwd_call(x0, ws):
         nb = x0.shape[0]                 # = batch / G
-        kern = functools.partial(_fwd_kernel, **geom)
+        kern = functools.partial(_fwd_kernel, pe_r=pe_r, pe_c=pe_c, P=P,
+                                 Pp=Pp, vr=vr, vc=vc, G=G)
         return pl.pallas_call(
             kern,
             grid=(nb,),
@@ -407,15 +408,31 @@ def _make_pooled_fn(hc: int, wc: int, interpret: bool, group: int = 1):
             interpret=interpret,
         )(x0, *(ws[k] for k in _W_KEYS)).reshape(nb * G, 64)
 
-    def bwd_call(x0, ws, dy):
+    def _regroup(x0):
+        """[B/G, 4*G*Pp, 64] fwd-grouped planes -> bwd grouping Gb.
+
+        The backward kernel recomputes and HOLDS the whole group's
+        residuals in VMEM, so its group must be smaller than the
+        forward's (G=4 measured 21 MB of scoped VMEM — over the 16 MB
+        limit); a plain XLA transpose regroups the saved planes."""
+        if Gb == G:
+            return x0
         nb = x0.shape[0]
-        kern = functools.partial(_bwd_kernel, **geom)
+        x = x0.reshape(nb, 4, G, Pp, 64).swapaxes(1, 2)   # [nb,G,4,Pp,64]
+        x = x.reshape(nb * G // Gb, Gb, 4, Pp, 64).swapaxes(1, 2)
+        return x.reshape(nb * G // Gb, 4 * Gb * Pp, 64)
+
+    def bwd_call(x0, ws, dy):
+        x0 = _regroup(x0)
+        nb = x0.shape[0]                 # = batch / Gb
+        kern = functools.partial(_bwd_kernel, pe_r=pe_r, pe_c=pe_c, P=P,
+                                 Pp=Pp, vr=vr, vc=vc, G=Gb)
         grads = pl.pallas_call(
             kern,
             grid=(nb,),
-            in_specs=[pl.BlockSpec((1, 4 * G * Pp, 64),
+            in_specs=[pl.BlockSpec((1, 4 * Gb * Pp, 64),
                                    lambda i: (i, 0, 0)),
-                      pl.BlockSpec((1, G, 64), lambda i: (i, 0, 0))]
+                      pl.BlockSpec((1, Gb, 64), lambda i: (i, 0, 0))]
             + wspecs + [vmem, vmem],
             out_specs=tuple(
                 pl.BlockSpec(_MAT.get(k, (1, _ROW.get(k, 0))),
@@ -426,7 +443,7 @@ def _make_pooled_fn(hc: int, wc: int, interpret: bool, group: int = 1):
                                      jnp.float32)
                 for k in _W_KEYS),
             interpret=interpret,
-        )(x0, dy.reshape(nb, G, 64), *(ws[k] for k in _W_KEYS),
+        )(x0, dy.reshape(nb, Gb, 64), *(ws[k] for k in _W_KEYS),
           jnp.swapaxes(ws["w1"], 0, 1), jnp.swapaxes(ws["w2"], 0, 1))
         out = {}
         for k, g in zip(_W_KEYS, grads):
@@ -453,7 +470,8 @@ def _make_pooled_fn(hc: int, wc: int, interpret: bool, group: int = 1):
 
 
 def encode_pooled(x_nhwc: jnp.ndarray, ws: dict,
-                  interpret: bool = False, group: int = 4) -> jnp.ndarray:
+                  interpret: bool = False, group: int = 4,
+                  bwd_group: int = 1) -> jnp.ndarray:
     """Fused CNN stack: normalized [B,H,W,1] image -> pooled [B,64] f32.
 
     GRADIENT CONTRACT: differentiates w.r.t. ``ws`` ONLY. The image
@@ -469,21 +487,28 @@ def encode_pooled(x_nhwc: jnp.ndarray, ws: dict,
     biases/BN rows are kept f32 and applied in f32 like the XLA path's
     accumulation, then cast at layer boundaries.
 
-    ``group``: images stacked per kernel invocation (row axis) — taller
-    matmuls, fewer grid steps. Bounded by VMEM (the backward holds the
-    recomputed residuals of the whole group); the batch is zero-padded
-    up to a group multiple and the pad rows' outputs dropped.
+    ``group``: images stacked per FORWARD kernel invocation (row axis) —
+    taller matmuls, fewer grid steps. ``bwd_group``: the backward's own
+    (smaller) grouping — it recomputes and holds the whole group's
+    residuals in VMEM, so group=4 overflows the 16 MB scoped limit
+    (measured 21 MB at 212x120); the saved planes are regrouped by a
+    plain XLA transpose before the backward kernel. The batch is
+    zero-padded up to a group multiple and the pad rows' outputs
+    dropped (their gradients are exactly zero: masked rows).
     """
     b, h, w, _ = x_nhwc.shape
     # fail loudly rather than train with silently-zero image gradients:
     # pooled_bwd returns zeros for the image cotangent by design
     x_nhwc = jax.lax.stop_gradient(x_nhwc)
     group = max(1, min(int(group), b))
+    bwd_group = max(1, min(int(bwd_group), group))
+    while group % bwd_group:
+        bwd_group -= 1
     b_pad = -(-b // group) * group
     if b_pad != b:
         x_nhwc = jnp.pad(x_nhwc, ((0, b_pad - b), (0, 0), (0, 0), (0, 0)))
     x0 = build_x0_planes(x_nhwc, group=group)
-    fn = _make_pooled_fn(h // 4, w // 4, interpret, group)
+    fn = _make_pooled_fn(h // 4, w // 4, interpret, group, bwd_group)
     row = lambda a: a.reshape(1, -1).astype(jnp.float32)
     packed = {k: (ws[k].astype(x_nhwc.dtype) if k in _MAT else row(ws[k]))
               for k in _W_KEYS}
