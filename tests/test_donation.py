@@ -35,8 +35,10 @@ def _trainer(name, ctl, n=16, full_cam=False):
 
 def test_dict_obs_donation_runs():
     # full-size camera: this is THE driver-config guard — the first call
-    # creates the donated buffers, the second consumes them
-    tr = _trainer("planning", "vel", full_cam=True)
+    # creates the donated buffers, the second consumes them. n=8: the
+    # guard is about the 212x120 conv-consumed buffer layout, not the
+    # env count; 8 envs halve the 1-CPU conv wall-clock.
+    tr = _trainer("planning", "vel", n=8, full_cam=True)
     ts = tr.init(jax.random.PRNGKey(0))
     step = tr.make_train_epoch()            # donation ON by default
     for _ in range(2):

@@ -10,6 +10,8 @@ hardware.
 import os
 import re
 import socket
+
+import pytest
 import subprocess
 import sys
 
@@ -25,7 +27,11 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_distributed_train_epoch():
+    """slow: spawns two fresh jax.distributed processes (~60 s). The
+    fast tier keeps this surface covered via test_graft_entry, whose
+    driver-env dryrun runs the same 2-process check."""
     port = _free_port()
     env = dict(os.environ)
     # children force their own backend config; strip the suite's forcing
