@@ -9,8 +9,10 @@ camera buffer committed in a conv-preferred custom tiling depending on
 which cached executable produced it; the donated epoch must accept
 whatever layout arrives (rl/ppo.py make_train_epoch pins the ACTUAL
 arg layouts). The CPU test suite structurally cannot see this class of
-failure — run this on the real chip after touching donation/layout or
-compilation-cache code:
+failure — run this on the real chip after touching donation/layout,
+compilation-cache, or TPU-only render-dispatch code (render_and_process
+routes to the fused Pallas render+postprocess kernel on TPU, so this
+also smoke-tests that path inside the real training loop):
 
     python scripts/preflight_tpu.py            # 2 fresh-process rounds
 """
