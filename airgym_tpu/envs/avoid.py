@@ -88,6 +88,11 @@ class Avoid(base.QuadEnvCore):
     action_limit_overrides = {"rate": base.NARROW_RATE_LIMITS}
     num_obs = 16
     obs_is_dict = True
+    # emits info["success"]: the task is achieved iff the episode reaches
+    # the 6 s timeout — i.e. the drone survived the thrown cube without
+    # colliding or violating the kill box (reference avoid.py:259 +
+    # avoid_config.py:19 reset_on_collision)
+    has_success = True
 
     def __init__(self, cfg: AvoidCfg = AvoidCfg(), **kw):
         super().__init__(cfg, **kw)
@@ -221,6 +226,8 @@ class Avoid(base.QuadEnvCore):
         max_len = cfg.max_episode_length
         timeout = (progress >= max_len - 1) & ~die
         reset = die | (progress >= max_len - 1)
+        # task achievement: survived the throw to the episode timeout
+        info["success"] = timeout
 
         core = core._replace(root=root, ctrl=ctrl, rotors=rotors, progress=progress,
                              pre_actions=acts, rng=rng)

@@ -40,6 +40,10 @@ class Balloon(base.QuadEnvCore):
     task_name = "balloon"
     action_limit_overrides = {"rate": base.NARROW_RATE_LIMITS}
     num_obs = 18
+    # emits info["success"]: the task is achieved iff the episode ends by
+    # popping the balloon (< 0.1 m, reference balloon.py:154-157) — the
+    # trainer/player track per-episode hit rate from it
+    has_success = True
 
     def initial_state(self, key) -> BalloonState:
         k0, k1, k2 = jax.random.split(key, 3)
@@ -166,5 +170,8 @@ class Balloon(base.QuadEnvCore):
             "effort_reward": effort_r,
             "ups_reward": ups_r,
             "reward": reward,
+            # task achievement: balloon hit this step (popped from the
+            # Episode/ means by the trainer's success tracking)
+            "success": check < 0.1,
         }
         return reward, die, info

@@ -497,8 +497,11 @@ def encode_pooled(x_nhwc: jnp.ndarray, ws: dict,
     dropped (their gradients are exactly zero: masked rows).
     """
     b, h, w, _ = x_nhwc.shape
-    # fail loudly rather than train with silently-zero image gradients:
-    # pooled_bwd returns zeros for the image cotangent by design
+    # the image cotangent is declared zero ON PURPOSE via stop_gradient:
+    # pooled_bwd does not compute d/d(image), and no caller needs it (the
+    # camera is not learned).  A future learned pre-encoder must use the
+    # XLA path — under stop_gradient it would silently get zero image
+    # gradients here, not an error.
     x_nhwc = jax.lax.stop_gradient(x_nhwc)
     group = max(1, min(int(group), b))
     bwd_group = max(1, min(int(bwd_group), group))

@@ -212,11 +212,18 @@ def render_and_process(cfg: CameraCfg, root_states, scene, key):
     tests/test_fused_render.py) but not bitwise; the exact fused pipeline
     is mirrored by pallas_raycast.postprocess_hash.  Elsewhere (CPU
     tests) the unfused XLA pipeline below is the oracle.
+
+    Cameras taller than the fused kernel's lane budget (H > 126, possible
+    since cam_height became user-configurable) fall back to the unfused
+    XLA pipeline on every backend instead of crashing TPU-only.
     """
     if jax.default_backend() == "tpu":
-        from airgym_tpu.render.pallas_raycast import render_process_pallas
-        # postprocess clips at depth_clamp, so culling at that z is exact
-        return render_process_pallas(cfg, root_states, scene, key,
-                                     interpret=False,
-                                     cull_far_z=cfg.depth_clamp)
+        from airgym_tpu.render.pallas_raycast import (LANES,
+                                                      render_process_pallas)
+        if cfg.height <= LANES - 2:
+            # postprocess clips at depth_clamp, so culling at that z is
+            # exact
+            return render_process_pallas(cfg, root_states, scene, key,
+                                         interpret=False,
+                                         cull_far_z=cfg.depth_clamp)
     return postprocess(cfg, render_depth(cfg, root_states, scene), key)

@@ -82,20 +82,34 @@ class FusedHoveringPPO(ppo_mod.PPO):
                                sigmas=sigmas, rewards=rewards,
                                dones=dones, timeouts=timeouts)
 
+        # per-step task-success flags (None unless the fused task reports
+        # them — must agree with the task's has_success declaration)
+        successes = self._fused_success(obs, rewards, dones)
+        if (successes is None) != (ts.last_ep_success is None):
+            raise ValueError(
+                f"{type(self).__name__}._fused_success and "
+                f"{type(self.task).__name__}.has_success disagree — a "
+                f"has_success task on the fused path must derive per-step "
+                f"success flags from the kernel record")
+
         # episode stats (same bookkeeping as the scan rollout)
         def stat_step(carry, inp):
-            ep_ret, ep_len, last_ret, last_len = carry
-            r, d = inp
+            ep_ret, ep_len, last_ret, last_len, last_suc = carry
+            r, d, s = inp
             ep_ret = ep_ret + r
             ep_len = ep_len + 1.0
             last_ret = jnp.where(d, ep_ret, last_ret)
             last_len = jnp.where(d, ep_len, last_len)
+            if last_suc is not None:
+                last_suc = jnp.where(d, s.astype(ep_ret.dtype), last_suc)
             alive = 1.0 - d.astype(ep_ret.dtype)
-            return (ep_ret * alive, ep_len * alive, last_ret, last_len), None
+            return (ep_ret * alive, ep_len * alive, last_ret, last_len,
+                    last_suc), None
 
-        (ep_ret, ep_len, last_ret, last_len), _ = jax.lax.scan(
+        (ep_ret, ep_len, last_ret, last_len, last_suc), _ = jax.lax.scan(
             stat_step, (ts.ep_return, ts.ep_length, ts.last_ep_return,
-                        ts.last_ep_length), (rewards, dones))
+                        ts.last_ep_length, ts.last_ep_success),
+            (rewards, dones, successes))
 
         # rebuild the env state (vel-loop fields are untouched in rate mode)
         old = ts.env_state.core
@@ -120,9 +134,15 @@ class FusedHoveringPPO(ppo_mod.PPO):
         ts = ts._replace(env_state=env_state, obs=last_obs,
                          ep_return=ep_ret, ep_length=ep_len,
                          last_ep_return=last_ret, last_ep_length=last_len,
-                         rng=rng)
+                         last_ep_success=last_suc, rng=rng)
         infos = {"reward": jnp.mean(rewards)}
         return ts, traj, last_value, infos
+
+    def _fused_success(self, obs, rewards, dones):
+        """Per-step task-success flags [H, N], or None when the task has
+        no success notion.  Fused variants of has_success tasks must
+        override this (the kernel record carries no separate flag)."""
+        return None
 
 
 class FusedBalloonPPO(FusedHoveringPPO):
@@ -144,6 +164,15 @@ class FusedBalloonPPO(FusedHoveringPPO):
 
     def _last_obs(self, env_state, root, key):
         return self.task._observations(root, env_state.balloon, key)
+
+    def _fused_success(self, obs, rewards, dones):
+        # the hit bonus (+800 within 0.1 m, reference balloon.py:154-157)
+        # dominates every other reward term (their sum is bounded well
+        # under 40 in magnitude, see envs/balloon._reward), so a step with
+        # reward > 400 is exactly a balloon hit; the fused kernel record
+        # carries no separate flag (parity with the standard path is
+        # asserted in tests/test_fused_balloon.py)
+        return dones & (rewards > 400.0)
 
 
 class FusedTrackingPPO(FusedHoveringPPO):

@@ -170,8 +170,17 @@ class PPO:
         # schedule can change it inside jit.
 
         self.batch_size = self.num_envs * cfg.horizon
+        if cfg.minibatch_size > self.batch_size:
+            raise ValueError(
+                f"minibatch_size ({cfg.minibatch_size}) exceeds the rollout "
+                f"batch ({self.num_envs} envs x {cfg.horizon} horizon = "
+                f"{self.batch_size}) — lower minibatch_size or raise "
+                f"num_envs/horizon_length")
         self.num_minibatches = max(1, self.batch_size // cfg.minibatch_size)
-        assert self.batch_size % self.num_minibatches == 0
+        if self.batch_size % self.num_minibatches:
+            raise ValueError(
+                f"minibatch_size ({cfg.minibatch_size}) must divide the "
+                f"rollout batch ({self.batch_size}) into equal minibatches")
 
         # frame dedup (see PPOConfig.dedup_image_frames): exact only when
         # cam_every divides the horizon — then every rollout contains
@@ -347,6 +356,12 @@ class PPO:
             info = dict(out.info)
             success = info.pop("success", None)
             if last_suc is not None:
+                if success is None:
+                    raise ValueError(
+                        f"{type(self.task).__name__} sets has_success=True "
+                        f"but its step info has no 'success' entry — every "
+                        f"step must emit info['success'] when the flag is "
+                        f"set")
                 # per-EPISODE success: on each env's reset, record whether
                 # the ending step was a task success (e.g. goal reach)
                 last_suc = jnp.where(out.reset,

@@ -374,7 +374,18 @@ class Runner:
         if loaded.last_ep_success is None and ts.last_ep_success is not None:
             loaded = loaded._replace(
                 last_ep_success=jnp.zeros_like(ts.last_ep_success))
-        return jax.tree.map(lambda t, l: jnp.asarray(l), ts, loaded)
+        elif loaded.last_ep_success is not None \
+                and ts.last_ep_success is None:
+            # checkpoint from a has_success task loaded into one without
+            loaded = loaded._replace(last_ep_success=None)
+        try:
+            return jax.tree.map(lambda t, l: jnp.asarray(l), ts, loaded)
+        except (ValueError, TypeError) as e:
+            raise ValueError(
+                f"incompatible checkpoint {path!r}: its TrainState tree "
+                f"does not match this task/config (e.g. saved before a "
+                f"state-layout change, or from a different task). "
+                f"Underlying error: {e}") from e
 
 
 class Player:

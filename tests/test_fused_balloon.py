@@ -83,6 +83,11 @@ def test_fused_balloon_ppo_epoch_runs():
         fr.rollout_fused_policy = orig
     for k in ("loss", "kl", "mean_reward", "reward_raw_per_step"):
         assert np.isfinite(float(m[k])), k
+    # balloon is a has_success task: the fused path must track per-episode
+    # hit rate (derived from the +800 hit bonus in the kernel record)
+    assert "success_rate" in m
+    assert 0.0 <= float(m["success_rate"]) <= 1.0
+    assert ts.last_ep_success is not None
     qn = jnp.linalg.norm(ts.env_state.core.root[:, 3:7], axis=1)
     np.testing.assert_allclose(np.array(qn), 1.0, atol=1e-3)
     # balloon positions stay in the reset distribution's range

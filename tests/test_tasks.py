@@ -34,7 +34,7 @@ def test_balloon_contract():
     assert out.obs.shape == (N, 18)
     assert out.priv_obs.shape == (N, 1, 13)
     expected = {"guidance_reward", "hit_reward", "action_smoothness_reward",
-                "effort_reward", "ups_reward", "reward"}
+                "effort_reward", "ups_reward", "reward", "success"}
     assert expected == set(out.info)
     assert bool(jnp.all(jnp.isfinite(out.reward)))
     # balloon x in [2, 3]
@@ -54,6 +54,8 @@ def test_balloon_hit_gives_800():
     s2, out = jax.jit(task.step)(s, jnp.zeros((N, 4)))
     assert float(out.info["hit_reward"][0]) == 800.0
     assert bool(out.reset[0])
+    # task achievement: the hit IS the success signal
+    assert bool(out.info["success"][0])
 
 
 def test_tracking_contract():
@@ -105,6 +107,27 @@ def test_avoid_cube_collision_kills():
     s2, out = jax.jit(task.step)(s, jnp.zeros((N, 4)))
     assert float(out.info["alive_reward"][0]) == -500.0
     assert bool(out.reset[0])
+    # dying to the cube is NOT a success
+    assert not bool(out.info["success"][0])
+
+
+def test_avoid_timeout_is_success():
+    """Surviving the throw to the 6 s episode cap emits success=True
+    (reference avoid.py:259: the task is achieved iff nothing killed the
+    drone before timeout)."""
+    task = envs.make_task("avoid", ctl_mode="rate", num_envs=N,
+                          obs_noise=False)
+    s = task.initial_state(jax.random.PRNGKey(2))
+    progress = jnp.full((N,), task.cfg.max_episode_length - 2, jnp.int32)
+    s = s._replace(core=s.core._replace(progress=progress,
+                                        reset_buf=jnp.zeros(N, bool)))
+    s2, out = jax.jit(task.step)(s, jnp.zeros((N, 4)))
+    alive = ~np.array(out.info["alive_reward"] < 0)  # envs the cube missed
+    assert alive.any()
+    np.testing.assert_array_equal(np.array(out.info["success"]),
+                                  np.array(out.timeout))
+    assert np.array(out.info["success"])[alive].all()
+    assert np.array(out.reset).all()
 
 
 def test_planning_contract():
