@@ -53,6 +53,12 @@ class MAPlanningCfg(base.BaseEnvCfg):
     cam_width: int = 212
     cam_height: int = 120
     num_robots: int = 4               # X152b num_assets
+    # curriculum knob (same recipe as PlanningCfg.start_x): start all
+    # robots at this x instead of the reference -LENGTH-0.5 — a shorter
+    # corridor makes the shared +200 goal bonus reachable early; the obs
+    # carry no absolute position, so the policy transfers to the full
+    # task. None = reference start.
+    start_x: Optional[float] = None
 
     @property
     def cam_every(self) -> int:
@@ -105,7 +111,9 @@ class MAPlanning(base.QuadEnvCore):
         (maplanning.py:226-257)."""
         r = self.cfg.num_robots
         y = 2.0 * jax.random.uniform(key, (e, r), minval=-1, maxval=1)
-        x = jnp.full((e, r), -LENGTH - 0.5)
+        x0 = (-LENGTH - 0.5 if self.cfg.start_x is None
+              else float(self.cfg.start_x))
+        x = jnp.full((e, r), x0)
         z = jnp.full((e, r), FLY_HEIGHT)
         yaw = jnp.arctan2(goal[:, None, 1] - y, goal[:, None, 0] - x)
         ang = jnp.stack([jnp.zeros_like(yaw), jnp.zeros_like(yaw), yaw],

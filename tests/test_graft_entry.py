@@ -74,6 +74,8 @@ def test_dryrun_multichip_driver_env():
     proc = _run_dryrun_subprocess(env, n=8, processes=2)
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "dryrun_multichip OK on 8 devices" in proc.stdout, proc.stdout
+    assert ("dryrun_multichip planning (vision, frame-dedup) OK on 8 "
+            "devices") in proc.stdout, proc.stdout
     assert "dryrun_multiproc OK on 2 processes" in proc.stdout, proc.stdout
 
 
