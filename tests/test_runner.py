@@ -11,7 +11,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def tiny_cfg(**updates):
-    with open(os.path.join(REPO, "scripts/config/ppo_hovering.yaml")) as f:
+    with open(os.path.join(REPO,
+                           "airgym_tpu/configs/ppo_hovering.yaml")) as f:
         cfg = yaml.safe_load(f)
     c = cfg["params"]["config"]
     c.update({"num_actors": 16, "horizon_length": 8, "minibatch_size": 32,
