@@ -285,7 +285,7 @@ class CNNEncoder(nn.Module):
             # one Pallas megakernel for the whole conv stack: activations
             # never leave VMEM (ops/fused_cnn.py).  Identical parameters
             # and layer math as the folded XLA path below.
-            from airgym_tpu.ops import fused_cnn
+            from airgym_tpu.experiments import fused_cnn
             w0, b0 = _FoldedConv0(features=16, name="conv0")(
                 None, return_matrix=True)
             s0_16, t0_16 = FrozenBatchNorm(16, name="bn0")()

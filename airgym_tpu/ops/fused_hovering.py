@@ -21,10 +21,11 @@ env-step benchmark. The PPO rollout interleaves policy matmuls and keeps
 the XLA path (fusing the policy into this kernel is the natural next
 step).
 
-State record (field-major [32, N] f32):
+State record (field-major [40, N] f32):
   0:13  root state (IsaacGym layout)   13:16 rate integrator
   16:19 prev body rate                 19 progress   20 reset flag
-  21:25 pre_actions (remapped)         25:32 pad
+  21:25 pre_actions (remapped)         25:29 rotor state (motor lag)
+  29:35 task extras (balloon)          35:40 pad
 """
 from __future__ import annotations
 
@@ -42,7 +43,7 @@ from airgym_tpu.ops import transcendental as tm
 from airgym_tpu.physics import quadrotor as qd
 
 TILE = 1024                    # envs per grid cell: each field is (8, 128)
-_F = 32                        # fields in the packed record
+_F = 40                        # fields in the packed record
 
 _P = qd.x152b_params()
 _G = px4.CascadeGains()
@@ -51,7 +52,7 @@ _HOVER_MAX_LEN = 2400          # 24 s / 0.01 (hovering_config.py:17,29)
 
 
 def pack_state(core) -> jnp.ndarray:
-    """envs.base.EnvState (hovering core) -> [32, N] record."""
+    """envs.base.EnvState (hovering core) -> [40, N] record."""
     n = core.root.shape[0]
     s = jnp.zeros((_F, n), jnp.float32)
     s = s.at[0:13].set(core.root.T)
@@ -60,6 +61,8 @@ def pack_state(core) -> jnp.ndarray:
     s = s.at[19].set(core.progress.astype(jnp.float32))
     s = s.at[20].set(core.reset_buf.astype(jnp.float32))
     s = s.at[21:25].set(core.pre_actions.T)
+    if core.rotors is not None:
+        s = s.at[25:29].set(core.rotors.T)
     return s
 
 
@@ -113,7 +116,8 @@ def _quat_from_euler(ax, ay, az):
     return qx, qy, qz, qw
 
 
-def _kernel(seed_ref, act_ref, s_ref, out_ref, rew_ref, *, steps: int):
+def _kernel(seed_ref, act_ref, s_ref, out_ref, rew_ref, *, steps: int,
+            motor_alpha: float = 0.0):
     t_id = pl.program_id(0)
     base_seed = (seed_ref[0].astype(jnp.uint32)
                  + jnp.uint32(t_id) * jnp.uint32(0x01000193))
@@ -132,6 +136,7 @@ def _kernel(seed_ref, act_ref, s_ref, out_ref, rew_ref, *, steps: int):
     prog = F(19)
     rstf = F(20)
     pa0, pa1, pa2, pa3 = F(21), F(22), F(23), F(24)
+    r1_, r2_, r3_, r4_ = F(25), F(26), F(27), F(28)
 
     # constant remapped action (rate mode): [p, q, r, thrust]
     a0 = act_ref[0]
@@ -151,12 +156,12 @@ def _kernel(seed_ref, act_ref, s_ref, out_ref, rew_ref, *, steps: int):
 
     state = (px_, py_, pz_, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz,
              rix, riy, riz, prx, pry, prz, prog, rstf,
-             pa0, pa1, pa2, pa3, rew_sum)
+             pa0, pa1, pa2, pa3, r1_, r2_, r3_, r4_, rew_sum)
 
     def body(step_i, st):
         (px_, py_, pz_, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz,
          rix, riy, riz, prx, pry, prz, prog, rstf,
-         pa0, pa1, pa2, pa3, rew_sum) = st
+         pa0, pa1, pa2, pa3, r1_, r2_, r3_, r4_, rew_sum) = st
 
         # ---- controller: canonical quat, body rates, PID, mixer --------
         flip = jnp.where(qw < 0.0, -1.0, 1.0)
@@ -209,8 +214,19 @@ def _kernel(seed_ref, act_ref, s_ref, out_ref, rew_ref, *, steps: int):
         alive = 1.0 - rstf
         c1, c2, c3, c4 = c1 * alive, c2 * alive, c3 * alive, c4 * alive
 
+        # first-order motor lag (physics/quadrotor.rotor_lag): the ACTUAL
+        # rotor thrusts track the commands; rewards stay on the commands
+        # like the standard path (envs pass cmds, not rotors, to _reward)
+        if motor_alpha > 0.0:
+            r1_ = motor_alpha * r1_ + (1.0 - motor_alpha) * c1
+            r2_ = motor_alpha * r2_ + (1.0 - motor_alpha) * c2
+            r3_ = motor_alpha * r3_ + (1.0 - motor_alpha) * c3
+            r4_ = motor_alpha * r4_ + (1.0 - motor_alpha) * c4
+        else:
+            r1_, r2_, r3_, r4_ = c1, c2, c3, c4
+
         # ---- physics ----------------------------------------------------
-        fz = (c1 + c2 + c3 + c4) * ts_
+        fz = (r1_ + r2_ + r3_ + r4_) * ts_
         # f_world = R(q) @ (0, 0, fz)
         a_ = 2.0 * qw_ * qw_ - 1.0
         fwx = 2.0 * qw_ * (qy_ * fz) + 2.0 * qx_ * (qz_ * fz)
@@ -221,9 +237,9 @@ def _kernel(seed_ref, act_ref, s_ref, out_ref, rew_ref, *, steps: int):
         vz = vz + _DT * (fwz / mass - g)
 
         # body torques: arm moments + yaw reaction (hovering.py:256-277)
-        tbx = ts_ * L * (-c1 + c2 + c3 - c4)
-        tby = -ts_ * L * (c1 - c2 + c3 - c4)
-        tbz = tq * (-c1 - c2 + c3 + c4)
+        tbx = ts_ * L * (-r1_ + r2_ + r3_ - r4_)
+        tby = -ts_ * L * (r1_ - r2_ + r3_ - r4_)
+        tbz = tq * (-r1_ - r2_ + r3_ + r4_)
         gyx = wby * (izz * wbz) - wbz * (iyy * wby)
         gyy = wbz * (ixx * wbx) - wbx * (izz * wbz)
         gyz = wbx * (iyy * wby) - wby * (ixx * wbx)
@@ -330,35 +346,44 @@ def _kernel(seed_ref, act_ref, s_ref, out_ref, rew_ref, *, steps: int):
         prx, pry, prz = prx * keep, pry * keep, prz * keep
         pa0, pa1, pa2, pa3 = pa0 * keep, pa1 * keep, pa2 * keep, \
             pa3 * keep
+        r1_, r2_, r3_, r4_ = (r1_ * keep, r2_ * keep, r3_ * keep,
+                              r4_ * keep)
         prog = prog * keep
 
         return (px_, py_, pz_, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz,
                 rix, riy, riz, prx, pry, prz, prog, rstf,
-                pa0, pa1, pa2, pa3, rew_sum)
+                pa0, pa1, pa2, pa3, r1_, r2_, r3_, r4_, rew_sum)
 
     state = jax.lax.fori_loop(0, steps, body, state)
 
     (px_, py_, pz_, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz,
      rix, riy, riz, prx, pry, prz, prog, rstf,
-     pa0, pa1, pa2, pa3, rew_sum) = state
+     pa0, pa1, pa2, pa3, r1_, r2_, r3_, r4_, rew_sum) = state
 
     flat = lambda x: x.reshape(TILE)
     for i, val in enumerate([px_, py_, pz_, qx, qy, qz, qw, vx, vy, vz,
                              wx, wy, wz, rix, riy, riz, prx, pry, prz,
-                             prog, rstf, pa0, pa1, pa2, pa3]):
+                             prog, rstf, pa0, pa1, pa2, pa3,
+                             r1_, r2_, r3_, r4_]):
         out_ref[i] = flat(val)
     rew_ref[0] = flat(rew_sum)
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("steps", "interpret",
+                                             "motor_alpha"))
 def rollout_fused(packed: jnp.ndarray, action: jnp.ndarray, seed,
-                  steps: int, interpret: bool = False):
-    """[32, N] packed state + remapped rate action [4] -> (new packed
-    state, per-env reward sums [N]) after ``steps`` fused env steps."""
+                  steps: int, interpret: bool = False,
+                  motor_alpha: float = 0.0):
+    """[40, N] packed state + remapped rate action [4] -> (new packed
+    state, per-env reward sums [N]) after ``steps`` fused env steps.
+
+    motor_alpha = exp(-dt/motor_tau) threads the first-order motor lag
+    through the kernel (0.0 = instantaneous thrust, reference parity)."""
     n = packed.shape[1]
     assert n % TILE == 0, f"N must be a multiple of {TILE}"
     grid = (n // TILE,)
-    kernel = functools.partial(_kernel, steps=steps)
+    kernel = functools.partial(_kernel, steps=steps,
+                               motor_alpha=motor_alpha)
     out, rews = pl.pallas_call(
         kernel,
         grid=grid,

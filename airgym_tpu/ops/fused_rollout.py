@@ -89,11 +89,12 @@ def pack_policy(params, obs_rms) -> PolicyPack:
 
 
 def pack_state_balloon(core, balloon, pre_root_pos) -> jnp.ndarray:
-    """Balloon task: hovering's 25 rows + balloon pos (25:28) +
-    pre_root_pos (28:31) in the same [32, N] record."""
+    """Balloon task: hovering's 29 rows (incl. rotor state at 25:29) +
+    balloon pos (29:32) + pre_root_pos (32:35) in the same [40, N]
+    record."""
     s = fhov.pack_state(core)
-    s = s.at[25:28].set(balloon[:, 0:3].T)
-    s = s.at[28:31].set(pre_root_pos.T)
+    s = s.at[29:32].set(balloon[:, 0:3].T)
+    s = s.at[32:35].set(pre_root_pos.T)
     return s
 
 
@@ -105,7 +106,7 @@ def _kernel(seed_ref, s_ref,
             w0_r, b0_r, w1_r, b1_r, w2_r, b2_r, wmu_r, bmu_r, wv_r, bv_r,
             logstd_r, obs_mean_r, obs_istd_r,
             out_ref, traj_ref, *, steps: int, obs_noise: bool,
-            task: str = "hovering"):
+            task: str = "hovering", motor_alpha: float = 0.0):
     w0, b0, w1, b1 = w0_r[...], b0_r[...], w1_r[...], b1_r[...]
     w2, b2, wmu, bmu = w2_r[...], b2_r[...], wmu_r[...], bmu_r[...]
     wv, bv, logstd = wv_r[...], bv_r[...], logstd_r[...]
@@ -121,7 +122,7 @@ def _kernel(seed_ref, s_ref,
     def F(i):
         return s_ref[i].reshape(shape)
 
-    n_rows = 31 if task == "balloon" else 25
+    n_rows = 35 if task == "balloon" else 29
     st = tuple(F(i) for i in range(n_rows))
     max_len = _TASK_MAX_LEN[task]
 
@@ -140,8 +141,9 @@ def _kernel(seed_ref, s_ref,
         (px_, py_, pz_, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz,
          rix, riy, riz, prx, pry, prz, prog, rstf,
          pa0, pa1, pa2, pa3) = st[:25]
+        r1_, r2_, r3_, r4_ = st[25:29]
         if task == "balloon":
-            bx, by, bz, ppx, ppy, ppz = st[25:31]
+            bx, by, bz, ppx, ppy, ppz = st[29:35]
 
         step_key = base_seed ^ ((step_i.astype(jnp.uint32)
                                  + jnp.uint32(1)) * jnp.uint32(0x9E3779B1))
@@ -274,7 +276,18 @@ def _kernel(seed_ref, s_ref,
         alive = 1.0 - rstf
         c1, c2, c3, c4 = c1 * alive, c2 * alive, c3 * alive, c4 * alive
 
-        fz = (c1 + c2 + c3 + c4) * ts_
+        # first-order motor lag (physics/quadrotor.rotor_lag): physics
+        # consumes the ACTUAL rotor thrusts; rewards stay on the commands
+        # like the standard path
+        if motor_alpha > 0.0:
+            r1_ = motor_alpha * r1_ + (1.0 - motor_alpha) * c1
+            r2_ = motor_alpha * r2_ + (1.0 - motor_alpha) * c2
+            r3_ = motor_alpha * r3_ + (1.0 - motor_alpha) * c3
+            r4_ = motor_alpha * r4_ + (1.0 - motor_alpha) * c4
+        else:
+            r1_, r2_, r3_, r4_ = c1, c2, c3, c4
+
+        fz = (r1_ + r2_ + r3_ + r4_) * ts_
         a_ = 2.0 * qw_ * qw_ - 1.0
         fwx = 2.0 * qw_ * (qy_ * fz) + 2.0 * qx_ * (qz_ * fz)
         fwy = 2.0 * qw_ * (-qx_ * fz) + 2.0 * qy_ * (qz_ * fz)
@@ -283,9 +296,9 @@ def _kernel(seed_ref, s_ref,
         vy = vy + _DT * (fwy / mass)
         vz = vz + _DT * (fwz / mass - g)
 
-        tbx = ts_ * L * (-c1 + c2 + c3 - c4)
-        tby = -ts_ * L * (c1 - c2 + c3 - c4)
-        tbz = tq * (-c1 - c2 + c3 + c4)
+        tbx = ts_ * L * (-r1_ + r2_ + r3_ - r4_)
+        tby = -ts_ * L * (r1_ - r2_ + r3_ - r4_)
+        tbz = tq * (-r1_ - r2_ + r3_ + r4_)
         gyx = wby * (izz * wbz) - wbz * (iyy * wby)
         gyy = wbz * (ixx * wbx) - wbx * (izz * wbz)
         gyz = wbx * (iyy * wby) - wby * (ixx * wbx)
@@ -465,11 +478,13 @@ def _kernel(seed_ref, s_ref,
         prx, pry, prz = prx * keep, pry * keep, prz * keep
         pa0, pa1, pa2, pa3 = (pa0 * keep, pa1 * keep, pa2 * keep,
                               pa3 * keep)
+        r1_, r2_, r3_, r4_ = (r1_ * keep, r2_ * keep, r3_ * keep,
+                              r4_ * keep)
         prog = prog * keep
 
         out_rows = (px_, py_, pz_, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz,
                     rix, riy, riz, prx, pry, prz, prog, new_rstf,
-                    pa0, pa1, pa2, pa3)
+                    pa0, pa1, pa2, pa3, r1_, r2_, r3_, r4_)
         if task == "balloon":
             bx2, by2, bz2 = mix(bx, nbx), mix(by, nby), mix(bz, nbz)
             out_rows = out_rows + (bx2, by2, bz2,
@@ -485,17 +500,20 @@ def _kernel(seed_ref, s_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("steps", "obs_noise", "interpret",
-                                    "task"))
+                                    "task", "motor_alpha"))
 def rollout_fused_policy(packed, pack: PolicyPack, seed, steps: int,
                          obs_noise: bool = True, interpret: bool = False,
-                         task: str = "hovering"):
-    """[32, N] packed env state + policy weights -> (new packed state,
-    trajectory [steps, REC, N])."""
+                         task: str = "hovering", motor_alpha: float = 0.0):
+    """[40, N] packed env state + policy weights -> (new packed state,
+    trajectory [steps, REC, N]).
+
+    motor_alpha = exp(-dt/motor_tau) threads the first-order motor lag
+    through the kernel (0.0 = instantaneous thrust, reference parity)."""
     n = packed.shape[1]
     assert n % TILE == 0
     grid = (n // TILE,)
     kernel = functools.partial(_kernel, steps=steps, obs_noise=obs_noise,
-                               task=task)
+                               task=task, motor_alpha=motor_alpha)
     rec = rec_len(task)
     wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13
     out, traj = pl.pallas_call(

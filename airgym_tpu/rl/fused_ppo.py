@@ -33,11 +33,12 @@ class FusedHoveringPPO(ppo_mod.PPO):
         assert task.task_name == self.fused_task \
             and task.cfg.ctl_mode == "rate"
         assert task.cfg.num_envs % fr.TILE == 0
-        if task.params.motor_tau > 0.0:
-            raise NotImplementedError(
-                "the fused rollout kernels apply rotor commands "
-                "instantaneously; motor_tau > 0 (first-order motor lag) "
-                "is only supported by the standard PPO path")
+        # first-order motor lag threads through the kernel (exact discrete
+        # form, physics/quadrotor.rotor_lag); 0.0 = instantaneous thrust
+        import numpy as np
+        tau = float(task.params.motor_tau)
+        self._motor_alpha = (float(np.exp(-task.params.dt / tau))
+                             if tau > 0.0 else 0.0)
         super().__init__(task, cfg, network_kw=network_kw)
 
     # -- task hooks (overridden by fused variants) -------------------------
@@ -61,7 +62,8 @@ class FusedHoveringPPO(ppo_mod.PPO):
         packed = self._pack_env(ts.env_state)
         packed_out, rec = fr.rollout_fused_policy(
             packed, pack, seed, cfg.horizon,
-            obs_noise=self.task.cfg.obs_noise, task=self.fused_task)
+            obs_noise=self.task.cfg.obs_noise, task=self.fused_task,
+            motor_alpha=self._motor_alpha)
 
         # unpack the trajectory record [H, rec_len, N]
         k = fr._TASK_OBS[self.fused_task]
@@ -121,6 +123,8 @@ class FusedHoveringPPO(ppo_mod.PPO):
             progress=packed_out[19].astype(jnp.int32),
             reset_buf=packed_out[20] > 0.5,
             pre_actions=packed_out[21:25].T,
+            rotors=(packed_out[25:29].T if old.rotors is not None
+                    else None),
             rng=rng)
         env_state = self._unpack_env(ts.env_state, packed_out, core)
 
@@ -158,9 +162,9 @@ class FusedBalloonPPO(FusedHoveringPPO):
                                      env_state.pre_root_pos)
 
     def _unpack_env(self, env_state, packed_out, core):
-        balloon = env_state.balloon.at[:, 0:3].set(packed_out[25:28].T)
+        balloon = env_state.balloon.at[:, 0:3].set(packed_out[29:32].T)
         return env_state._replace(core=core, balloon=balloon,
-                                  pre_root_pos=packed_out[28:31].T)
+                                  pre_root_pos=packed_out[32:35].T)
 
     def _last_obs(self, env_state, root, key):
         return self.task._observations(root, env_state.balloon, key)

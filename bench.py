@@ -194,6 +194,30 @@ def bench_avoid_training():
     return round(n * horizon * calls / dt, 1)
 
 
+def bench_onchip_parity():
+    """Counted on-chip kernel-parity coverage (VERDICT r3 weak #3): the
+    TPU-gated fused-render/fused-CNN parity tests self-skip when the
+    tunneled plugin crashes at init, so a flaky full-suite run can read
+    green with zero on-chip coverage. Running them inside the bench (the
+    one per-round artifact recorded on real hardware) makes ran-vs-
+    skipped visible: {"passed": 2, "skipped": 0} is coverage, anything
+    else isn't. Failures here must not sink the bench numbers."""
+    import os
+    import subprocess
+    import sys
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        sys.path.insert(0, os.path.join(here, "scripts"))
+        from preflight_tpu import run_parity_tests
+        counts = run_parity_tests(timeout=900)
+        counts.pop("note", None)
+        return counts
+    except subprocess.TimeoutExpired:
+        return {"error": "timeout"}
+    except Exception as e:  # never sink the bench
+        return {"error": repr(e)[:200]}
+
+
 def main():
     from airgym_tpu.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()
@@ -215,6 +239,7 @@ def main():
     out["hovering_fused_train_env_steps_per_sec"] = fused_train_sps
     out["planning_cnn_train_env_steps_per_sec_4096envs"] = vision_sps
     out["avoid_cnn_train_env_steps_per_sec_4096envs_h64"] = avoid_sps
+    out["onchip_parity"] = bench_onchip_parity()
     print(json.dumps(out))
 
 

@@ -15,8 +15,15 @@ routes to the fused Pallas render+postprocess kernel on TPU, so this
 also smoke-tests that path inside the real training loop):
 
     python scripts/preflight_tpu.py            # 2 fresh-process rounds
+    python scripts/preflight_tpu.py 2 --json PREFLIGHT.json
+        # also runs the TPU-gated kernel parity tests and writes a JSON
+        # artifact recording ran-vs-skipped, so a tunnel-flaky full-suite
+        # run can't read as on-chip coverage (the gated tests self-skip
+        # on plugin init crashes by design — see tests/test_fused_*.py)
 """
+import json
 import os
+import re
 import subprocess
 import sys
 
@@ -43,7 +50,33 @@ print("PREFLIGHT_EPOCH_OK", float(m["reward_raw_per_step"]))
 """
 
 
-def main(rounds: int = 2) -> int:
+PARITY_TESTS = [
+    "tests/test_fused_render.py::test_fused_render_parity_on_real_tpu",
+    "tests/test_fused_cnn.py::test_pallas_vs_xla_parity_on_real_tpu",
+]
+
+
+def run_parity_tests(timeout: int = 1800) -> dict:
+    """Run the on-chip kernel parity tests standalone and return their
+    ran-vs-skipped counts. These tests skip (by design) when the tunneled
+    TPU plugin crashes at init; this makes that skip COUNTED instead of
+    silently green."""
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-m", "", *PARITY_TESTS],
+        cwd=REPO, capture_output=True, text=True, timeout=timeout)
+    tail = proc.stdout[-400:]
+    counts = {k: 0 for k in ("passed", "skipped", "failed", "error")}
+    for n, kind in re.findall(r"(\d+) (passed|skipped|failed|error)", tail):
+        counts[kind] = int(n)
+    counts["rc"] = proc.returncode
+    counts["total"] = len(PARITY_TESTS)
+    if counts["rc"] != 0 and not counts["failed"] and not counts["error"]:
+        counts["note"] = proc.stdout[-1000:] + proc.stderr[-1000:]
+    return counts
+
+
+def main(rounds: int = 2, json_path: str = None) -> int:
+    result = {"preflight_rounds": rounds, "preflight_ok": True}
     for i in range(rounds):
         proc = subprocess.run([sys.executable, "-c", CHILD], cwd=REPO,
                               capture_output=True, text=True, timeout=1800)
@@ -51,11 +84,32 @@ def main(rounds: int = 2) -> int:
         print(f"round {i + 1}/{rounds}: {'OK' if ok else 'FAILED'}")
         if not ok:
             sys.stderr.write(proc.stderr[-4000:])
-            return 1
-    print("preflight OK: layout-pinned vision epoch is stable on this "
-          "device across fresh processes + warm compilation cache")
-    return 0
+            result["preflight_ok"] = False
+            break
+    if result["preflight_ok"]:
+        print("preflight OK: layout-pinned vision epoch is stable on this "
+              "device across fresh processes + warm compilation cache")
+    if json_path is not None:
+        parity = run_parity_tests()
+        result["onchip_parity"] = parity
+        # honest overall flag: skips are NOT coverage
+        result["ok"] = (result["preflight_ok"]
+                        and parity["failed"] == 0 and parity["error"] == 0
+                        and parity["skipped"] == 0
+                        and parity["passed"] == parity["total"])
+        with open(json_path, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"parity: {parity['passed']}/{parity['total']} passed, "
+              f"{parity['skipped']} skipped -> {json_path} "
+              f"(ok={result['ok']})")
+    return 0 if result["preflight_ok"] else 1
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 2))
+    argv = sys.argv[1:]
+    jp = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        jp = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(int(argv[0]) if argv else 2, json_path=jp))

@@ -66,7 +66,7 @@ def test_fused_balloon_one_step_matches_task():
     # dynamics amplify slightly over the step
     np.testing.assert_allclose(root_f, root_s, atol=2e-3)
     # pre_root_pos threads through (zeroed on reset, else current pos)
-    np.testing.assert_allclose(np.array(out[28:31].T)[kept],
+    np.testing.assert_allclose(np.array(out[32:35].T)[kept],
                                np.array(ns.pre_root_pos)[kept], atol=1e-4)
 
 

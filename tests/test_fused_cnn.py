@@ -169,7 +169,7 @@ def test_group_padding_parity(setup):
     into outputs or parameter gradients (pad rows get zero cotangents
     through the output slice's adjoint)."""
     img, params = setup   # B = 3
-    from airgym_tpu.ops import fused_cnn
+    from airgym_tpu.experiments import fused_cnn
 
     probe = jax.random.normal(jax.random.PRNGKey(5), (3, 30))
 

@@ -72,6 +72,54 @@ def test_fused_matches_standard_no_reset_window():
                                atol=1e-3)
 
 
+def test_fused_matches_standard_with_motor_lag():
+    """motor_tau = 0.05: the fused kernel's in-VMEM rotor state must
+    reproduce the standard path's first-order lag (qd.rotor_lag exact
+    discretization) trajectory-for-trajectory (VERDICT r3 next #8)."""
+    tau = 0.05
+    task = envs.make_task("hovering", ctl_mode="rate", num_envs=N,
+                          obs_noise=False, motor_tau=tau)
+    assert task.params.motor_tau == tau
+    s0 = task.initial_state(jax.random.PRNGKey(2))
+    s0 = s0._replace(core=s0.core._replace(
+        reset_buf=jnp.zeros(N, bool)))
+
+    hov = qd.hover_command(task.params)
+    act_policy = jnp.tile(jnp.array([0.05, -0.05, 0.02, 2 * hov - 1.0]),
+                          (N, 1))
+    act_remapped = task.remap_actions(act_policy)[0]
+
+    def body(st, _):
+        st, out = task.step(st, act_policy)
+        return st, out.reward
+
+    st_std, rews = jax.lax.scan(body, s0, None, length=20)
+    assert not bool(st_std.core.reset_buf.any())
+    rew_std = jnp.sum(rews, axis=0)
+
+    alpha = float(np.exp(-task.params.dt / tau))
+    packed = fh.pack_state(s0.core)
+    out, rew_fused = fh.rollout_fused(
+        packed, act_remapped, jnp.array([3], jnp.int32), 20,
+        interpret=True, motor_alpha=alpha)
+    root_f = np.array(fh.unpack_root(out))
+    root_s = np.array(st_std.core.root)
+    sign = np.sign(np.sum(root_f[:, 3:7] * root_s[:, 3:7], axis=1,
+                          keepdims=True))
+    root_f[:, 3:7] *= sign
+    np.testing.assert_allclose(root_f, root_s, atol=1e-4)
+    np.testing.assert_allclose(np.array(out[25:29].T),
+                               np.array(st_std.core.rotors), atol=1e-5)
+    np.testing.assert_allclose(np.array(rew_fused), np.array(rew_std),
+                               atol=1e-3)
+    # the lag actually bites: trajectories with/without it diverge
+    out0, _ = fh.rollout_fused(
+        packed, act_remapped, jnp.array([3], jnp.int32), 20,
+        interpret=True, motor_alpha=0.0)
+    assert float(np.abs(np.array(out0[0:13]) - np.array(out[0:13])).max()) \
+        > 1e-4
+
+
 def test_fused_resets_keep_state_in_distribution():
     task = envs.make_task("hovering", ctl_mode="rate", num_envs=N,
                           obs_noise=False)

@@ -62,3 +62,31 @@ def test_fused_ppo_epoch_runs_and_is_finite():
     # env state stayed coherent (unit quats)
     qn = jnp.linalg.norm(ts.env_state.core.root[:, 3:7], axis=1)
     np.testing.assert_allclose(np.array(qn), 1.0, atol=1e-3)
+
+
+def test_fused_ppo_epoch_with_motor_lag():
+    """motor_tau > 0 composes with the fused policy+env path: the kernel
+    threads the per-rotor state (VERDICT r3 next #8 — previously a loud
+    reject) and the post-rollout env state carries the lagged thrusts."""
+    import functools
+    task = envs.make_task("hovering", ctl_mode="rate", num_envs=N,
+                          motor_tau=0.05)
+    tr = FusedHoveringPPO(task, ppo_mod.PPOConfig(horizon=4,
+                                                  minibatch_size=1024))
+    assert 0.0 < tr._motor_alpha < 1.0
+    orig = fr.rollout_fused_policy
+    fr.rollout_fused_policy = functools.partial(orig, interpret=True)
+    try:
+        ts = tr.init(jax.random.PRNGKey(0))
+        step = tr.make_train_epoch(donate=False)
+        ts, m = step(ts)
+        ts, m = step(ts)
+    finally:
+        fr.rollout_fused_policy = orig
+    for k in ("loss", "kl", "mean_reward"):
+        assert np.isfinite(float(m[k])), k
+    rotors = np.array(ts.env_state.core.rotors)
+    assert rotors.shape == (N, 4)
+    assert np.isfinite(rotors).all()
+    # most envs are mid-episode with spinning rotors
+    assert (np.abs(rotors).max(axis=1) > 0.0).mean() > 0.5
