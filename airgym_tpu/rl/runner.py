@@ -248,6 +248,14 @@ class Runner:
         best_reward = -1e9
         start = time.time()
         epoch = int(ts.epoch)
+        # periodic in-training episode dumps (rank-0): the headless
+        # replacement for the reference's interactive viewer
+        # (base_task.py:84-95) — watch whether the policy is sane without
+        # stopping the run. config.viz_every_epochs = 0 (default) = off.
+        viz_every = int(self.params.get("config", {}).get(
+            "viz_every_epochs", 0) or 0)
+        if writer is None:
+            viz_every = 0
         # Only sync with the device at the logging cadence: per-epoch
         # host round-trips (scalar fetches, TB writes, best-ckpt saves)
         # dominate wall-clock over a tunneled TPU link.
@@ -310,6 +318,9 @@ class Runner:
                 if cfg.save_frequency and epoch % cfg.save_frequency == 0:
                     self.save(trainer, ts, os.path.join(
                         ck_dir, f"last_{name}_ep_{epoch}"))
+                if viz_every and epoch % viz_every == 0:
+                    self._dump_training_viz(task, trainer, ts, run_dir,
+                                            epoch)
                 if mean_rew > cfg.score_to_win:
                     break
 
@@ -321,6 +332,49 @@ class Runner:
         total = time.time() - start
         return ts, {"best_reward": best_reward, "epochs": epoch,
                     "wall_time_s": total, "run_dir": run_dir}
+
+    def _dump_training_viz(self, task, trainer, ts, run_dir: str,
+                           epoch: int, steps: int = 200,
+                           k_rec: int = 4) -> None:
+        """Short deterministic rollout with the CURRENT params on a fresh
+        env batch, dumped to run_dir/viz/epoch_* (trajectory panels +
+        depth gif). Replaces the reference viewer's actual function —
+        checking the policy is doing something sane mid-run — without a
+        display or stopping training. The training env state is not
+        touched."""
+        from airgym_tpu.utils.episode_viz import dump_episode
+        n_rows = getattr(task, "flat_n", task.cfg.num_envs)
+        k = min(k_rec, n_rows)
+
+        if getattr(self, "_viz_fn", None) is None:
+            def run(params, obs_rms, key):
+                def body(carry, _):
+                    env_state, obs = carry
+                    mu, _, _ = trainer.model.apply(params, obs, obs_rms)
+                    env_state, out = task.step(env_state,
+                                               jnp.clip(mu, -1.0, 1.0))
+                    core = getattr(env_state, "core", env_state)
+                    rec = {"reward": out.reward[:k],
+                           "reset": out.reset[:k],
+                           "root": core.root[:k, :13]}
+                    if hasattr(env_state, "camera"):
+                        rec["camera"] = env_state.camera[0, 0]
+                    return (env_state, out.obs), rec
+
+                env_state = task.initial_state(key)
+                env_state, out = task.step(
+                    env_state,
+                    jnp.zeros((n_rows, task.cfg.num_actions)))
+                (_, _), recs = jax.lax.scan(body, (env_state, out.obs),
+                                            None, length=steps)
+                return recs
+
+            self._viz_fn = jax.jit(run)
+
+        recs = self._viz_fn(ts.params, ts.obs_rms,
+                            jax.random.PRNGKey(epoch))
+        out_dir = os.path.join(run_dir, "viz", f"epoch_{epoch:06d}")
+        dump_episode(out_dir, jax.tree.map(np.asarray, recs))
 
     # -- play --------------------------------------------------------------
 

@@ -64,6 +64,25 @@ def test_train_and_play_roundtrip(tmp_path):
     assert np.isfinite(out["mean_reward"])
 
 
+def test_in_training_viz_dump(tmp_path):
+    """config.viz_every_epochs: periodic headless episode dumps mid-run
+    (the reference viewer's function, base_task.py:84-95, without a
+    display)."""
+    from airgym_tpu.rl.runner import Runner
+    cfg = tiny_cfg(viz_every_epochs=2, max_epochs=4)
+    runner = Runner().load(cfg)
+    ts, result = runner.run({"train": True, "task": "hovering",
+                             "ctl_mode": "rate", "num_envs": 16,
+                             "seed": 3, "run_root": str(tmp_path),
+                             "log_every": 1})
+    viz = os.path.join(result["run_dir"], "viz")
+    dumps = sorted(os.listdir(viz))
+    assert dumps == ["epoch_000002", "epoch_000004"], dumps
+    for d in dumps:
+        assert os.path.exists(os.path.join(viz, d, "trajectory.png"))
+        assert os.path.exists(os.path.join(viz, d, "episode.npz"))
+
+
 def test_cli_parses_reference_flags():
     import scripts.runner as sr
     args = sr.get_args(["--task", "hovering", "--ctl_mode", "rate",
