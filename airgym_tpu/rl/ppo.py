@@ -226,32 +226,46 @@ class PPO:
 
     def init(self, key) -> TrainState:
         k_env, k_model, k_rng = jax.random.split(key, 3)
-        env_state = self.task.initial_state(k_env)
-        # reset() semantics: zero-action step to get first obs
-        env_state, out0 = self.task.step(
-            env_state, jnp.zeros((self.num_envs, self.num_actions)))
-        if self.frame_dedup:
-            # phase-align the render cadence to the rollout blocks: with
-            # counter % cam_every == 0 at rollout start, every camera
-            # render lands on the LAST step of a cam_every block, so the
-            # nested rollout scan encodes features exactly once per block
-            # (see rollout()). A few zero-action warmup steps — same
-            # spirit as IsaacGym's sim warmup on reset.
-            for _ in range(self.cam_every - 1):
-                env_state, out0 = self.task.step(
-                    env_state,
-                    jnp.zeros((self.num_envs, self.num_actions)))
+
+        def env_warmup(k):
+            env_state = self.task.initial_state(k)
+            # reset() semantics: zero-action step to get first obs
+            env_state, out0 = self.task.step(
+                env_state, jnp.zeros((self.num_envs, self.num_actions)))
+            if self.frame_dedup:
+                # phase-align the render cadence to the rollout blocks:
+                # with counter % cam_every == 0 at rollout start, every
+                # camera render lands on the LAST step of a cam_every
+                # block, so the nested rollout scan encodes features
+                # exactly once per block (see rollout()). A few
+                # zero-action warmup steps — same spirit as IsaacGym's
+                # sim warmup on reset.
+                for _ in range(self.cam_every - 1):
+                    env_state, out0 = self.task.step(
+                        env_state,
+                        jnp.zeros((self.num_envs, self.num_actions)))
+            return env_state, out0
+
+        # One compiled call instead of thousands of eager dispatches.
+        # Over a tunneled TPU every eager op is a host<->device round
+        # trip; un-jitted, this warmup dominated cold-start wall-clock
+        # (minutes of device-queue drain BEHIND the dispatch, stalling
+        # the first train-epoch lowering when it fetched constants).
+        env_state, out0 = jax.jit(env_warmup)(k_env)
         obs = out0.obs
 
         sample = jax.tree.map(lambda x: x[:1], obs)
-        params = self.model.init(k_model, sample)
+        params = jax.jit(self.model.init)(k_model, sample)
 
         obs_rms = None
         if self.cfg.normalize_input:
             if isinstance(obs, dict):
-                # 'observation' stats cover [obs ++ encoder features]
-                _, _, _, prenorm = self.model.apply(
-                    params, sample, None, return_prenorm=True)
+                # 'observation' stats cover [obs ++ encoder features];
+                # only the SHAPE is needed — eval_shape runs no device op
+                prenorm = jax.eval_shape(
+                    lambda p, s: self.model.apply(
+                        p, s, None, return_prenorm=True),
+                    params, sample)[3]
                 obs_rms = {
                     "image": RunningMeanStd.create(
                         obs["image"].shape[1:]),

@@ -466,10 +466,16 @@ class Player:
         players.py:204-290, adapted to the batched evaluator: episodes
         are counted across all envs via reset flags)."""
         ts = self.ts
-        env_state = self.task.initial_state(jax.random.PRNGKey(seed))
         n_rows = getattr(self.task, "flat_n", self.task.cfg.num_envs)
-        env_state, out = self.task.step(
-            env_state, jnp.zeros((n_rows, self.task.cfg.num_actions)))
+
+        def boot(k):
+            # jitted: eager per-op dispatch over a tunneled TPU makes an
+            # un-jitted reset take minutes at large env counts
+            st = self.task.initial_state(k)
+            return self.task.step(
+                st, jnp.zeros((n_rows, self.task.cfg.num_actions)))
+
+        env_state, out = jax.jit(boot)(jax.random.PRNGKey(seed))
         obs = out.obs
         k_rec = min(record_envs, n_rows)
 

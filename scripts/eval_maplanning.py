@@ -48,9 +48,13 @@ def main(ckpt: str, smoke: bool = False, seed: int = 7) -> int:
         # obs_rms would not fit — smoke drives the plumbing untrained
         ts = run.restore(tr, ts, ckpt)
 
-    st = task.initial_state(jax.random.PRNGKey(seed))
     n = task.flat_n
-    st, out = task.step(st, jnp.zeros((n, task.cfg.num_actions)))
+
+    def boot(k):
+        st = task.initial_state(k)
+        return task.step(st, jnp.zeros((n, task.cfg.num_actions)))
+
+    st, out = jax.jit(boot)(jax.random.PRNGKey(seed))
 
     def body(carry, _):
         st, obs = carry

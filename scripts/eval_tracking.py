@@ -34,8 +34,11 @@ def main(ckpt: str, seed: int = 7) -> int:
     run = runner_mod.Runner()
     ts = run.restore(tr, tr.init(jax.random.PRNGKey(0)), ckpt)
 
-    st = task.initial_state(jax.random.PRNGKey(seed))
-    st, out = task.step(st, jnp.zeros((NUM_ENVS, task.cfg.num_actions)))
+    def boot(k):
+        st = task.initial_state(k)
+        return task.step(st, jnp.zeros((NUM_ENVS, task.cfg.num_actions)))
+
+    st, out = jax.jit(boot)(jax.random.PRNGKey(seed))
 
     def body(carry, _):
         st, obs = carry
