@@ -246,6 +246,7 @@ class Runner:
         step = trainer.make_train_epoch()
 
         best_reward = -1e9
+        best_success = 0.0   # save only once the task actually succeeds
         start = time.time()
         epoch = int(ts.epoch)
         # periodic in-training episode dumps (rank-0): the headless
@@ -315,6 +316,19 @@ class Runner:
                     best_reward = mean_rew
                     ckpt.save(os.path.join(ck_dir, name) + ".ckpt",
                               self._resume_state(ts))
+                # has_success tasks also keep a best-by-SUCCESS ckpt: the
+                # reward optimum can drift from the task-achievement
+                # optimum (survive-vs-reach — reward keeps rising from
+                # survival terms while goal-reach rate falls), so the
+                # highest-success policy would otherwise be lost to the
+                # best-reward overwrite.
+                if ("success_rate" in m_host
+                        and epoch >= cfg.save_best_after
+                        and float(m_host["success_rate"]) > best_success):
+                    best_success = float(m_host["success_rate"])
+                    ckpt.save(
+                        os.path.join(ck_dir, name) + "_best_success.ckpt",
+                        self._resume_state(ts))
                 if cfg.save_frequency and epoch % cfg.save_frequency == 0:
                     self.save(trainer, ts, os.path.join(
                         ck_dir, f"last_{name}_ep_{epoch}"))
@@ -331,7 +345,9 @@ class Runner:
             writer.close()
         total = time.time() - start
         return ts, {"best_reward": best_reward, "epochs": epoch,
-                    "wall_time_s": total, "run_dir": run_dir}
+                    "wall_time_s": total, "run_dir": run_dir,
+                    **({"best_success": best_success}
+                       if best_success > 0.0 else {})}
 
     def _dump_training_viz(self, task, trainer, ts, run_dir: str,
                            epoch: int, steps: int = 200,

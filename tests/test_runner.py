@@ -215,3 +215,35 @@ def test_experiment_name_overrides_run_name():
                         "--experiment_name", "myexp"])
     cfg = sr.update_config(tiny_cfg(), args)
     assert cfg["params"]["config"]["name"] == "myexp"
+
+
+def test_best_success_checkpoint(tmp_path, monkeypatch):
+    """has_success tasks keep a best-by-success ckpt alongside the
+    best-by-reward one: the reward optimum can drift away from the
+    task-achievement optimum (survive-vs-reach), so the highest-success
+    policy must survive the best-reward overwrite."""
+    from airgym_tpu.rl import ppo as ppo_mod
+    from airgym_tpu.rl.runner import Runner
+
+    rates = iter([0.0, 0.6, 0.3])   # peak at epoch 2, decay after
+    orig = ppo_mod.PPO.make_train_epoch
+
+    def wrapped(self, donate=None):
+        step = orig(self, donate=donate)
+
+        def step_with_success(ts):
+            ts, m = step(ts)
+            m = dict(m)
+            m["success_rate"] = jax.numpy.asarray(next(rates))
+            return ts, m
+        return step_with_success
+
+    monkeypatch.setattr(ppo_mod.PPO, "make_train_epoch", wrapped)
+    runner = Runner().load(tiny_cfg(save_best_after=1))
+    ts, result = runner.run({"train": True, "task": "hovering",
+                             "ctl_mode": "rate", "num_envs": 16,
+                             "seed": 3, "run_root": str(tmp_path)})
+    assert abs(result["best_success"] - 0.6) < 1e-6
+    best = os.path.join(result["run_dir"], "nn",
+                        "ppo_hovering_best_success.ckpt")
+    assert os.path.exists(best)
