@@ -83,6 +83,12 @@ class MAPlanning(base.QuadEnvCore):
     action_limit_overrides = {"rate": base.NARROW_RATE_LIMITS}
     obs_is_dict = True
     has_success = True            # info["success"]: per-robot goal reach
+    # info["env_success"]/["env_done"]: ENV-level episode events — the
+    # whole env resets when ANY robot is done (reference
+    # maplanning.py:571-584), so per-robot success is capped near
+    # 1/num_robots; the env-level rate is the task's real win condition
+    # and what the trainer's best-by-success checkpoint gates on
+    has_env_success = True
 
     def __init__(self, cfg: MAPlanningCfg = MAPlanningCfg(), **kw):
         super().__init__(cfg, **kw)
@@ -232,6 +238,13 @@ class MAPlanning(base.QuadEnvCore):
         timeout_env = env_timeout & ~any_robot
         reset_flat = jnp.repeat(reset_env, r)               # [n]
         timeout_flat = jnp.repeat(timeout_env, r)
+
+        # env-level episode events for the trainer (has_env_success):
+        # success = ANY robot touched the goal this step; done = the
+        # whole-env reset (any robot event or episode cap)
+        env_succ = jnp.any(info["success"].reshape(e, r), axis=-1)
+        info["env_success"] = jnp.repeat(env_succ, r)
+        info["env_done"] = reset_flat
 
         goal = jnp.where(reset_env[:, None], self._reset_goal(kg, e),
                          state.goal)

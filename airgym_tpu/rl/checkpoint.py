@@ -78,6 +78,83 @@ def load(path: str):
     return ts, payload.get("extra", {})
 
 
+def transfer_obs_width(trainer, ts, loaded, old_obs_dim: int,
+                       new_obs_dim: int):
+    """Warm-start a policy across observation-VECTOR widths.
+
+    MAPlanning's obs vector is 16 + 2*num_robots channels (reference
+    maplanning_config.py:13) where the per-robot relative channels are
+    ZEROED by the reference (maplanning.py:505-514) — so a policy trained
+    at one robot count transfers EXACTLY to another: inserted first-layer
+    rows only ever see zeros (their obs_rms channels start mean 0 / var 1,
+    normalizing 0 -> 0), and removed rows only ever saw zeros. Used by the
+    robot-count curriculum (scripts/curriculum_ma_robots.py).
+
+    The MLP input is [obs_vec ++ image features] (ActorCritic.encode), so
+    resizing = re-indexing the first old_obs_dim rows of actor_mlp/Dense_0
+    and of the 'observation' running stats, then shifting the feature rows.
+    Model params, image stats, value stats and lr carry over; the optimizer
+    restarts fresh (Adam moments are shaped by the old input — same policy
+    as the reference's MLP->CNN partial loader, a2c_continuous.py:423-471)
+    and epoch/frame restart at 0 (it is a new task shape).
+
+    ``ts`` must be a fresh trainer.init() state for the TARGET task;
+    ``loaded`` is the source checkpoint's TrainState.
+    """
+    def resize_rows(arr, pad_like=None):
+        """Re-index axis 0: [old_obs ++ rest] -> [new_obs ++ rest]."""
+        arr = np.asarray(arr)
+        keep = min(old_obs_dim, new_obs_dim)
+        pad_n = new_obs_dim - keep
+        parts = [arr[:keep]]
+        if pad_n > 0:
+            parts.append(np.zeros((pad_n,) + arr.shape[1:], arr.dtype)
+                         if pad_like is None else
+                         np.broadcast_to(pad_like, (pad_n,) + arr.shape[1:]
+                                         ).astype(arr.dtype))
+        parts.append(arr[old_obs_dim:])
+        return np.concatenate(parts, axis=0)
+
+    params = jax.tree.map(np.asarray, loaded.params)
+    d0 = params["params"]["actor_mlp"]["Dense_0"]
+    d0["kernel"] = resize_rows(d0["kernel"])
+    if "critic_mlp" in params["params"]:       # separate: True twin trunk
+        c0 = params["params"]["critic_mlp"]["Dense_0"]
+        c0["kernel"] = resize_rows(c0["kernel"])
+
+    obs_rms = loaded.obs_rms
+    if (isinstance(obs_rms, dict) and isinstance(ts.obs_rms, dict)
+            and "image" in obs_rms and "image" in ts.obs_rms
+            and obs_rms["image"].mean.shape
+            != ts.obs_rms["image"].mean.shape):
+        raise ValueError(
+            f"transfer_obs_width only resizes the obs VECTOR; the image "
+            f"stats differ in shape ({obs_rms['image'].mean.shape} vs "
+            f"{ts.obs_rms['image'].mean.shape}) — source and target must "
+            f"use the same camera resolution")
+    if isinstance(obs_rms, dict) and "observation" in obs_rms:
+        r = obs_rms["observation"]
+        obs_rms = dict(obs_rms)
+        obs_rms["observation"] = RunningMeanStd(
+            mean=resize_rows(r.mean),
+            var=resize_rows(r.var, pad_like=np.ones(())),
+            count=np.asarray(r.count),
+            mean_c=resize_rows(r.mean_c),
+            var_c=resize_rows(r.var_c),
+            count_c=np.asarray(r.count_c),
+        )
+
+    params = jax.tree.map(jnp.asarray, params)
+    obs_rms = jax.tree.map(jnp.asarray, obs_rms)
+    return ts._replace(
+        params=params,
+        opt_state=trainer.optimizer.init(params),
+        obs_rms=obs_rms,
+        value_rms=jax.tree.map(jnp.asarray, loaded.value_rms),
+        lr=jnp.asarray(loaded.lr),
+    )
+
+
 # --------------------------------------------------------------------------
 # torch .pth bridge
 

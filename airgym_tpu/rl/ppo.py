@@ -130,6 +130,13 @@ class TrainState(NamedTuple):
     # [N] 1.0 iff the last finished episode ended by task success (tasks
     # with has_success, e.g. Planning goal reach); None otherwise
     last_ep_success: Any = None
+    # [N] 1.0 iff the last finished ENV-level episode ended by env success
+    # (tasks with has_env_success, e.g. MAPlanning: ANY robot reached the
+    # goal before the any-robot env reset — reference maplanning.py:581-584
+    # resets the whole env on any robot event, so the per-robot success
+    # above is structurally capped near 1/num_robots and cannot gate
+    # best-checkpointing on the task's actual win condition); None otherwise
+    last_ep_env_success: Any = None
 
 
 class Rollout(NamedTuple):
@@ -296,6 +303,8 @@ class PPO:
             last_ep_length=jnp.zeros((n,)),
             last_ep_success=(jnp.zeros((n,)) if getattr(
                 self.task, "has_success", False) else None),
+            last_ep_env_success=(jnp.zeros((n,)) if getattr(
+                self.task, "has_env_success", False) else None),
             rng=k_rng,
         )
 
@@ -340,7 +349,7 @@ class PPO:
 
         def step_fn(carry, _, render=None):
             (env_state, obs, ep_ret, ep_len, last_ret, last_len, last_suc,
-             rng, feat) = carry
+             last_env_suc, rng, feat) = carry
             rng, k_act = jax.random.split(rng)
             # frame dedup: the camera only changes every cam_every steps,
             # so the encoder features are cached in the carry and
@@ -384,6 +393,19 @@ class PPO:
                 # the ending step was a task success (e.g. goal reach)
                 last_suc = jnp.where(out.reset,
                                      success.astype(ep_ret.dtype), last_suc)
+            env_success = info.pop("env_success", None)
+            env_done = info.pop("env_done", None)
+            if last_env_suc is not None:
+                if env_success is None or env_done is None:
+                    raise ValueError(
+                        f"{type(self.task).__name__} sets has_env_success="
+                        f"True but its step info lacks 'env_success'/"
+                        f"'env_done' entries — every step must emit both "
+                        f"when the flag is set")
+                # per ENV-level episode: on each whole-env reset, record
+                # whether any robot's ending step was a task success
+                last_env_suc = jnp.where(
+                    env_done, env_success.astype(ep_ret.dtype), last_env_suc)
 
             # store images bfloat16: the CNN consumes bf16 anyway (MXU),
             # and f32 rollout storage doubled the dominant HBM buffer
@@ -409,7 +431,7 @@ class PPO:
                            timeouts=out.timeout)
             info_means = {k: jnp.mean(v) for k, v in info.items()}
             return ((env_state, out.obs, ep_ret, ep_len, last_ret, last_len,
-                     last_suc, rng, feat), (data, info_means))
+                     last_suc, last_env_suc, rng, feat), (data, info_means))
 
         feat0 = None
         if dedup:
@@ -417,7 +439,7 @@ class PPO:
                                         ts.obs["image"])
         carry0 = (ts.env_state, ts.obs, ts.ep_return, ts.ep_length,
                   ts.last_ep_return, ts.last_ep_length, ts.last_ep_success,
-                  ts.rng, feat0)
+                  ts.last_ep_env_success, ts.rng, feat0)
 
         if dedup:
             # Nested scan: the outer loop EMITS one camera frame per
@@ -464,7 +486,7 @@ class PPO:
             carry, (traj, infos) = jax.lax.scan(step_fn, carry0, None,
                                                 length=cfg.horizon)
         (env_state, obs, ep_ret, ep_len, last_ret, last_len, last_suc,
-         rng, _) = carry
+         last_env_suc, rng, _) = carry
 
         # value of the final observation for bootstrapping
         _, _, _, _, last_value, _ = self._policy(
@@ -473,7 +495,7 @@ class PPO:
         ts = ts._replace(env_state=env_state, obs=obs, ep_return=ep_ret,
                          ep_length=ep_len, last_ep_return=last_ret,
                          last_ep_length=last_len, last_ep_success=last_suc,
-                         rng=rng)
+                         last_ep_env_success=last_env_suc, rng=rng)
         return ts, traj, last_value, infos
 
     # ------------------------------------------------------------------- GAE
@@ -627,7 +649,8 @@ class PPO:
             F frames of those envs — [F*me] images for mb samples
             (~3.5x fewer encoder runs). Sample j = n*H + h points at
             window image f*me + (n - e0) with f = frame_idx[h]."""
-            me = -(-mb_size // H) + 1
+            # clamp: a minibatch spanning ALL envs needs no +1 overlap env
+            me = min(-(-mb_size // H) + 1, self.num_envs)
             start = k * mb_size
             e0 = jnp.minimum(start // H, self.num_envs - me)
             win = jax.lax.dynamic_slice_in_dim(frames, e0, me, axis=1)
@@ -795,6 +818,12 @@ class PPO:
             # success — e.g. Planning's goal-ball reach, the number the
             # task exists to drive up (reference planning.py:254-267)
             metrics["success_rate"] = jnp.mean(ts.last_ep_success)
+        if ts.last_ep_env_success is not None:
+            # ENV-level win rate for multi-agent tasks: the fraction of
+            # (most recent per-actor) whole-env episodes where ANY robot
+            # reached the goal before the any-robot reset — the task's
+            # actual win condition (reference maplanning.py:581-584)
+            metrics["env_success_rate"] = jnp.mean(ts.last_ep_env_success)
         metrics["reward_raw_per_step"] = jnp.mean(traj.rewards)
         # diagnostics: explained variance of the value function
         # (reference dignostics.py / torch_ext.explained_variance)

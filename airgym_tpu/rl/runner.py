@@ -239,6 +239,15 @@ class Runner:
         ts = self._maybe_load_pretrained_vae(ts)
         if args.get("checkpoint"):
             ts = self.restore(trainer, ts, args["checkpoint"])
+        elif args.get("transfer_checkpoint"):
+            # warm-start across observation widths (robot-count
+            # curriculum, checkpoint.transfer_obs_width): caller states
+            # the SOURCE obs-vector width; the target width is this
+            # task's own
+            loaded, _ = ckpt.load(args["transfer_checkpoint"])
+            ts = ckpt.transfer_obs_width(
+                trainer, ts, loaded,
+                int(args["transfer_old_obs_dim"]), task.num_obs)
 
         mesh = pmesh.make_mesh()
         if len(mesh.devices.flat) > 1:
@@ -247,6 +256,7 @@ class Runner:
 
         best_reward = -1e9
         best_success = 0.0   # save only once the task actually succeeds
+        had_success_metric = False
         start = time.time()
         epoch = int(ts.epoch)
         # periodic in-training episode dumps (rank-0): the headless
@@ -304,6 +314,11 @@ class Runner:
                     scalars["info/success_rate"] = float(
                         m_host["success_rate"])
                     succ = f" success_rate: {scalars['info/success_rate']:.3f}"
+                if "env_success_rate" in m_host:
+                    scalars["info/env_success_rate"] = float(
+                        m_host["env_success_rate"])
+                    succ += (" env_success_rate: "
+                             f"{scalars['info/env_success_rate']:.3f}")
                 writer.add_scalars(scalars, frame)
                 print(f"fps total: {fps:.0f} epoch: {epoch}/"
                       f"{cfg.max_epochs} frames: {frame} "
@@ -321,11 +336,24 @@ class Runner:
                 # optimum (survive-vs-reach — reward keeps rising from
                 # survival terms while goal-reach rate falls), so the
                 # highest-success policy would otherwise be lost to the
-                # best-reward overwrite.
-                if ("success_rate" in m_host
+                # best-reward overwrite. Multi-agent tasks gate on the
+                # ENV-level rate (any-robot goal reach, the actual win
+                # condition) when the trainer emits it; the per-robot rate
+                # is structurally capped near 1/num_robots. NOTE: success
+                # is sampled at the log_every cadence like every other
+                # host-visible metric (per-epoch host syncs throttle
+                # training over the tunneled chip), so this preserves the
+                # highest success among LOGGED epochs, not a peak that
+                # falls between them.
+                gate_key = ("env_success_rate"
+                            if "env_success_rate" in m_host
+                            else "success_rate")
+                if gate_key in m_host:
+                    had_success_metric = True
+                if (gate_key in m_host
                         and epoch >= cfg.save_best_after
-                        and float(m_host["success_rate"]) > best_success):
-                    best_success = float(m_host["success_rate"])
+                        and float(m_host[gate_key]) > best_success):
+                    best_success = float(m_host[gate_key])
                     ckpt.save(
                         os.path.join(ck_dir, name) + "_best_success.ckpt",
                         self._resume_state(ts))
@@ -344,10 +372,13 @@ class Runner:
         if writer is not None:
             writer.close()
         total = time.time() - start
+        # best_success is reported whenever the task HAS a success metric
+        # (even at 0.0) so callers can tell "no success metric" apart from
+        # "success never exceeded 0"
         return ts, {"best_reward": best_reward, "epochs": epoch,
                     "wall_time_s": total, "run_dir": run_dir,
                     **({"best_success": best_success}
-                       if best_success > 0.0 else {})}
+                       if had_success_metric else {})}
 
     def _dump_training_viz(self, task, trainer, ts, run_dir: str,
                            epoch: int, steps: int = 200,
@@ -448,6 +479,15 @@ class Runner:
                 and ts.last_ep_success is None:
             # checkpoint from a has_success task loaded into one without
             loaded = loaded._replace(last_ep_success=None)
+        # same for the env-level tracker (and for checkpoints written
+        # before the field existed, which unpickle with its default None)
+        if (loaded.last_ep_env_success is None
+                and ts.last_ep_env_success is not None):
+            loaded = loaded._replace(
+                last_ep_env_success=jnp.zeros_like(ts.last_ep_env_success))
+        elif (loaded.last_ep_env_success is not None
+                and ts.last_ep_env_success is None):
+            loaded = loaded._replace(last_ep_env_success=None)
         try:
             return jax.tree.map(lambda t, l: jnp.asarray(l), ts, loaded)
         except (ValueError, TypeError) as e:

@@ -54,9 +54,13 @@ def main(ckpt: str, seed: int = 7) -> int:
     timeout = np.asarray(rec["timeout"])
     dist = np.asarray(rec["dist"])
 
-    # per-env first termination step (cap if none)
+    # per-env first termination step (cap if none): scan index + 1 steps
+    # happened inside the scan, + 1 for the zero-action boot step taken
+    # before it (ADVICE r4 #4 — the env's episode counter includes the
+    # boot step, so lengths now align with the 3600-step cap)
     any_reset = reset.any(axis=0)
-    first = np.where(any_reset, reset.argmax(axis=0) + 1, CAP)
+    first = np.where(any_reset, reset.argmax(axis=0) + 2, CAP)
+    first = np.minimum(first, CAP)
     # "held" = the first episode ended by the episode-cap timeout (or the
     # scan window ended before any termination), not by a crash reset
     first_was_timeout = timeout[np.minimum(first - 1, CAP - 1),

@@ -162,11 +162,16 @@ def test_pallas_vs_xla_parity_on_real_tpu():
                               timeout=1500)
     except subprocess.TimeoutExpired:
         # A training run owning the single tunneled chip starves the
-        # child indefinitely — that is contention, not a parity failure.
-        # Counted on-chip coverage lives in bench.py's onchip_parity
-        # (BENCH_r*.json), which runs with the chip exclusively.
-        pytest.skip("TPU busy: parity child starved past 1500s "
-                    "(counted coverage: bench.py onchip_parity)")
+        # child indefinitely — contention, not a parity failure. But a
+        # genuine kernel hang must NOT present as a skip (ADVICE r4 #1):
+        # prove contention with a trivial-op probe child before skipping.
+        from _tpu_probe import chip_contended
+        if chip_contended(env, repo):
+            pytest.skip("TPU busy: parity child starved past 1500s and "
+                        "a trivial-op probe also stalled (counted "
+                        "coverage: bench.py onchip_parity)")
+        pytest.fail("parity child timed out while a trivial-op probe "
+                    "ran fine — kernel hang, not chip contention")
     if "NO_TPU" in proc.stdout:
         pytest.skip("no TPU backend on this host")
     assert proc.returncode == 0, proc.stderr[-3000:]
