@@ -59,13 +59,12 @@ def main(ckpt: str, seed: int = 7) -> int:
     # before it (ADVICE r4 #4 — the env's episode counter includes the
     # boot step, so lengths now align with the 3600-step cap)
     any_reset = reset.any(axis=0)
-    first = np.where(any_reset, reset.argmax(axis=0) + 2, CAP)
-    first = np.minimum(first, CAP)
+    idx = reset.argmax(axis=0)                   # scan index of 1st reset
+    first = np.minimum(np.where(any_reset, idx + 2, CAP), CAP)
     # "held" = the first episode ended by the episode-cap timeout (or the
     # scan window ended before any termination), not by a crash reset
-    first_was_timeout = timeout[np.minimum(first - 1, CAP - 1),
-                                np.arange(NUM_ENVS)]
-    held = (~any_reset) | first_was_timeout
+    first_was_timeout = timeout[idx, np.arange(NUM_ENVS)]
+    held = (~any_reset) | (any_reset & first_was_timeout)
     result = {
         "task": "tracking",
         "what": "deterministic eval of the 3000-epoch checkpoint: one full "
