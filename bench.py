@@ -195,13 +195,15 @@ def bench_avoid_training():
 
 
 def bench_onchip_parity():
-    """Counted on-chip kernel-parity coverage (VERDICT r3 weak #3): the
-    TPU-gated fused-render/fused-CNN parity tests self-skip when the
-    tunneled plugin crashes at init, so a flaky full-suite run can read
-    green with zero on-chip coverage. Running them inside the bench (the
-    one per-round artifact recorded on real hardware) makes ran-vs-
-    skipped visible: {"passed": 2, "skipped": 0} is coverage, anything
-    else isn't. Failures here must not sink the bench numbers."""
+    """Counted on-chip kernel-parity coverage (VERDICT r3 weak #3 + r4
+    next #2): the TPU-gated parity tests — fused render, fused CNN, and
+    the fused ROLLOUT family (hovering incl. motor lag, policy-in-kernel,
+    balloon, tracking one-step) — self-skip when the tunneled plugin
+    crashes at init, so a flaky full-suite run can read green with zero
+    on-chip coverage. Running them inside the bench (the one per-round
+    artifact recorded on real hardware) makes ran-vs-skipped visible:
+    passed == total with 0 skipped is coverage, anything else isn't.
+    Failures here must not sink the bench numbers."""
     import os
     import subprocess
     import sys
@@ -209,7 +211,7 @@ def bench_onchip_parity():
     try:
         sys.path.insert(0, os.path.join(here, "scripts"))
         from preflight_tpu import run_parity_tests
-        counts = run_parity_tests(timeout=900)
+        counts = run_parity_tests(timeout=3000)
         counts.pop("note", None)
         return counts
     except subprocess.TimeoutExpired:

@@ -53,6 +53,13 @@ print("PREFLIGHT_EPOCH_OK", float(m["reward_raw_per_step"]))
 PARITY_TESTS = [
     "tests/test_fused_render.py::test_fused_render_parity_on_real_tpu",
     "tests/test_fused_cnn.py::test_pallas_vs_xla_parity_on_real_tpu",
+    # fused ROLLOUT family (VERDICT r4 next #2): the kernels behind the
+    # bench headlines, compiled via Mosaic vs the XLA step on-chip
+    "tests/test_fused_onchip.py::test_fused_hovering_rollout_parity_on_real_tpu",
+    "tests/test_fused_onchip.py::test_fused_hovering_motor_lag_parity_on_real_tpu",
+    "tests/test_fused_onchip.py::test_fused_policy_rollout_parity_on_real_tpu",
+    "tests/test_fused_onchip.py::test_fused_balloon_onestep_parity_on_real_tpu",
+    "tests/test_fused_onchip.py::test_fused_tracking_onestep_parity_on_real_tpu",
 ]
 
 
