@@ -55,9 +55,21 @@ REPO = os.path.abspath(os.path.join(HERE, ".."))
 STAGES = [
     ("r1a", 1, 4096, 0.5, 400),
     ("r1b", 1, 4096, -4.5, 500),
-    ("r1c", 1, 4096, None, 800),
-    ("r2", 2, 2048, None, 800),
-    ("r4", 4, 1024, None, 1200),
+    # ratchet the last 4 m in short stages: each stage improves reach for
+    # ~200-300 epochs before the loiter drift sets in (observed r1a/r1b:
+    # env success rises, peaks, then collapses while reward keeps
+    # climbing — the reference reward's per-step income ~2.2/step over
+    # the gamma=0.99 horizon slightly outweighs the +200 reach bonus in
+    # a treeless corridor, so sustained-training converges to loitering;
+    # Planning escapes only because tree deaths tax loitering). Short
+    # stages + the env-gated best_success checkpoint carry the PEAK
+    # policy forward instead of the collapsed endpoint.
+    ("r1c", 1, 4096, -5.5, 250),
+    ("r1d", 1, 4096, -6.5, 250),
+    ("r1e", 1, 4096, -7.5, 250),
+    ("r1f", 1, 4096, None, 350),
+    ("r2", 2, 2048, None, 450),
+    ("r4", 4, 1024, None, 700),
 ]
 
 DEFAULT_SOURCE = os.path.join(
@@ -70,6 +82,10 @@ def main() -> int:
                    help="start-distance-curriculum checkpoint to slice "
                         "into stage r1 (R=4 obs width 24)")
     p.add_argument("--source-robots", type=int, default=4)
+    p.add_argument("--start-stage", default=None,
+                   help="skip stages before this tag (resume a partial "
+                        "curriculum; --source then points at the last "
+                        "completed stage's checkpoint)")
     p.add_argument("--seed", type=int, default=11)
     p.add_argument("--smoke", action="store_true")
     a = p.parse_args()
@@ -84,7 +100,11 @@ def main() -> int:
                  else None)
     prev_robots = a.source_robots
     results = []
-    for i, (tag, robots, envs_n, start_x, max_epochs) in enumerate(STAGES):
+    stages = list(STAGES)
+    if a.start_stage:
+        tags = [s[0] for s in stages]
+        stages = stages[tags.index(a.start_stage):]
+    for i, (tag, robots, envs_n, start_x, max_epochs) in enumerate(stages):
         params = copy.deepcopy(base["params"])
         cfg = params["config"]
         cfg["name"] = f"maplan_{tag}"

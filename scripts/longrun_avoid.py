@@ -31,13 +31,26 @@ REPO = os.path.abspath(os.path.join(HERE, ".."))
 
 
 def main(smoke: bool) -> int:
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--checkpoint", default=None,
+                   help="resume (epoch counter continues; pair with a "
+                        "larger --max-epochs to extend a finished run — "
+                        "VERDICT r4 next #4: the 400-epoch run ended "
+                        "with survive-rate still rising)")
+    p.add_argument("--max-epochs", type=int, default=400,
+                   help="CUMULATIVE epoch target")
+    a = p.parse_args()
+    smoke = a.smoke
+
     enable_compilation_cache()
     base = yaml.safe_load(open(os.path.join(
         REPO, "airgym_tpu", "configs", "ppo_avoid.yaml")))
     params = base["params"]
     cfg = params["config"]
     cfg["name"] = "avoid_long"
-    cfg["max_epochs"] = 400
+    cfg["max_epochs"] = a.max_epochs
     cfg["save_frequency"] = 100
     if smoke:
         cfg["num_actors"] = 8
@@ -49,9 +62,11 @@ def main(smoke: bool) -> int:
     run = runner_mod.Runner()
     run.load({"params": params})
     t0 = time.time()
-    _, summary = run.run_train({"train": True, "ctl_mode": "rate",
-                                "seed": 5,
-                                "run_root": os.path.join(REPO, "runs")})
+    args = {"train": True, "ctl_mode": "rate", "seed": 5,
+            "run_root": os.path.join(REPO, "runs")}
+    if a.checkpoint:
+        args["checkpoint"] = a.checkpoint
+    _, summary = run.run_train(args)
     summary["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(summary, default=str), flush=True)
     return 0

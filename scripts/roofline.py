@@ -1,0 +1,203 @@
+"""Measured MFU / roofline accounting for the four hot paths
+(VERDICT r4 next #5): achieved HBM GB/s and FLOP/s vs chip peak, naming
+the binding resource, so claims like "the encoder is ~2.5x off the HBM
+bound" are measured utilization numbers instead of arguments.
+
+Method:
+  * XLA paths (hovering train epoch, planning vision train epoch): XLA's
+    own compiled cost model (``compiled.cost_analysis()`` flops +
+    bytes-accessed) divided by measured wall time per call. The bytes
+    model counts HBM-visible buffer traffic of the optimized HLO (post
+    fusion), which is the right numerator for a bandwidth roofline; the
+    flops model is precision-blind (counts MXU+VPU flops).
+  * Pallas kernels (fused hovering rollout, fused render): XLA cannot
+    see inside a custom call, so the FLOP/byte counts come from the
+    kernels' XLA TWINS — the standard jitted Hovering step and the XLA
+    ray-march renderer compute the same math (the parity tests pin this),
+    so their per-env-step / per-frame cost_analysis transfers. Fused
+    kernels keep state in VMEM, so their HBM traffic is ~nil by
+    construction and the binding resource is VPU/MXU compute.
+
+Peaks (TPU v5e / "v5 lite", public specs): 197e12 bf16 MXU FLOP/s,
+~3.9e12 f32 VPU FLOP/s (8x128 lanes x 4 ALUs x ~0.94 GHz — elementwise
+code cannot touch the MXU number), 819e9 HBM B/s.
+
+    python scripts/roofline.py            # real chip, ~10 min
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import airgym_tpu.envs as envs                      # noqa: E402
+from airgym_tpu.rl import ppo as ppo_mod            # noqa: E402
+from airgym_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+PEAK_MXU = 197e12        # bf16 FLOP/s
+PEAK_VPU = 3.9e12        # f32 elementwise FLOP/s (derivation in header)
+PEAK_HBM = 819e9         # B/s
+
+
+def cost(jitted, *args):
+    c = jitted.lower(*args).compile().cost_analysis()
+    if isinstance(c, list):              # older jax returns [dict]
+        c = c[0]
+    flops = float(c.get("flops", 0.0))
+    byts = float(c.get("bytes accessed", 0.0))
+    return flops, byts
+
+
+def timed(fn, *args, calls=3):
+    out = fn(*args)
+    jax.tree.map(lambda x: x.block_until_ready()
+                 if hasattr(x, "block_until_ready") else x, out)
+    # hard sync via host fetch (block_until_ready alone is unreliable
+    # over the tunnel — see bench.py)
+    leaf = jax.tree.leaves(out)[0]
+    float(jnp.sum(leaf.astype(jnp.float32))
+          if hasattr(leaf, "astype") else 0.0)
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        out = fn(*args)
+    leaf = jax.tree.leaves(out)[0]
+    float(jnp.sum(leaf.astype(jnp.float32))
+          if hasattr(leaf, "astype") else 0.0)
+    return (time.perf_counter() - t0) / calls, out
+
+
+def row(name, flops, byts, secs, compute_peak, note, extra=None):
+    f_s, b_s = flops / secs, byts / secs
+    r = {
+        "path": name,
+        "wall_ms": round(secs * 1e3, 2),
+        "gflop_per_call": round(flops / 1e9, 2),
+        "hbm_gb_per_call": round(byts / 1e9, 3),
+        "achieved_flops_Ts": round(f_s / 1e12, 3),
+        "achieved_hbm_GBs": round(b_s / 1e9, 1),
+        "pct_of_compute_peak": round(100 * f_s / compute_peak, 2),
+        "pct_of_hbm_peak": round(100 * b_s / PEAK_HBM, 1),
+        "binding_resource": ("HBM" if b_s / PEAK_HBM > f_s / compute_peak
+                             else "compute"),
+        "note": note,
+    }
+    if extra:
+        r.update(extra)
+    return r
+
+
+def main() -> int:
+    enable_compilation_cache()
+    rows = []
+
+    # 1. Hovering XLA train epoch (the default state-based trainer)
+    n = 4096
+    task = envs.make_task("hovering", ctl_mode="rate", num_envs=n)
+    tr = ppo_mod.PPO(task, ppo_mod.PPOConfig())
+    ts = tr.init(jax.random.PRNGKey(0))
+    step = jax.jit(tr.train_epoch)       # un-donated twin: lowerable twice
+    flops, byts = cost(step, ts)
+    secs, (ts2, _) = timed(lambda s: step(s), ts)
+    env_steps = n * tr.cfg.horizon
+    rows.append(row(
+        "hovering_xla_train_epoch_4096", flops, byts, secs, PEAK_VPU,
+        "rollout scan + GAE + 5x minibatch Adam; tiny MLP [64,128,64] -> "
+        "elementwise-dominated, VPU peak used as the compute bound",
+        {"env_steps_per_call": env_steps}))
+
+    # 2. Planning vision train epoch (CNN encoder, frame dedup)
+    nv = 4096
+    vtask = envs.make_task("planning", ctl_mode="rate", num_envs=nv)
+    vtr = ppo_mod.PPO(vtask, ppo_mod.PPOConfig(
+        horizon=24, minibatch_size=2048, mini_epochs=5))
+    vts = vtr.init(jax.random.PRNGKey(0))
+    vstep = jax.jit(vtr.train_epoch)
+    vflops, vbyts = cost(vstep, vts)
+    vsecs, _ = timed(lambda s: vstep(s), vts)
+    rows.append(row(
+        "planning_vision_train_epoch_4096", vflops, vbyts, vsecs, PEAK_MXU,
+        "depth render + CNN encode (bf16 convs on MXU) + PPO updates; "
+        "compute bound = bf16 MXU peak",
+        {"env_steps_per_call": nv * 24}))
+
+    # 3. Depth render, one frame at planning scale: Pallas fused kernel
+    #    timed, XLA ray-march twin counted (same math, parity-pinned)
+    from airgym_tpu.render import depth as dr
+    st = vts.env_state
+
+    def render_xla(root, trees, balls):
+        scene = dr.SceneForRender(cylinders=trees, spheres=balls,
+                                  ground=True)
+        return dr.render_depth(vtask.cam_cfg, root, scene)
+
+    def render_fused(root, trees, balls):
+        scene = dr.SceneForRender(cylinders=trees, spheres=balls,
+                                  ground=True)
+        return dr.render_depth_auto(vtask.cam_cfg, root, scene)
+
+    args = (st.core.root, vtask._cylinders(st),
+            vtask._goal_spheres(st.goal))
+    rjit_x = jax.jit(render_xla)
+    rjit_f = jax.jit(render_fused)
+    rflops, rbyts = cost(rjit_x, *args)
+    rsecs_f, _ = timed(lambda *a: rjit_f(*a), *args)
+    rsecs_x, _ = timed(lambda *a: rjit_x(*a), *args)
+    # the fused kernel's real HBM traffic is outputs + scene only (rays
+    # live in VMEM): depth [N, W, H] f32 out is the floor
+    out_bytes = nv * vtask.cam_cfg.width * vtask.cam_cfg.height * 4
+    rows.append(row(
+        "depth_render_4096x212x120", rflops, out_bytes, rsecs_f, PEAK_VPU,
+        "fused Pallas render+postprocess timed; FLOPs counted on the XLA "
+        "ray-march twin; HBM bytes = the [N,W,H] f32 output (scene "
+        "params are KBs); elementwise ray math -> VPU bound",
+        {"xla_twin_wall_ms": round(rsecs_x * 1e3, 2),
+         "xla_twin_bytes_model_gb": round(rbyts / 1e9, 3)}))
+
+    # 4. Fused hovering rollout kernel: VMEM-resident, HBM ~nil; FLOPs
+    #    counted from the XLA single-step twin
+    from airgym_tpu.ops import fused_hovering as fh
+    nf, steps = 131072, 8000
+    ftask = envs.make_task("hovering", ctl_mode="rate", num_envs=nf,
+                           obs_noise=False)
+    fs0 = ftask.initial_state(jax.random.PRNGKey(0))
+    act = ftask.remap_actions(
+        jnp.tile(jnp.array([0.0, 0.0, 0.0, -0.7]), (1, 1)))[0]
+
+    sjit = jax.jit(lambda s, a: ftask.step(
+        s, jnp.broadcast_to(a, (nf, 4))))
+    aflops, abyts = cost(sjit, fs0, jnp.array([0.0, 0.0, 0.0, -0.7]))
+    packed = fh.pack_state(fs0.core)
+    fsecs, _ = timed(
+        lambda p, a: fh.rollout_fused(p, a, jnp.asarray([7], jnp.int32),
+                                      steps)[1],
+        packed, act, calls=1)
+    rows.append(row(
+        "fused_hovering_rollout_131072x8000", aflops * steps,
+        packed.size * 4 * 2, fsecs, PEAK_VPU,
+        "whole T-step rollout in one kernel, state in VMEM; HBM = packed "
+        "state in+out once per call; FLOPs = XLA step twin x steps; "
+        "pure elementwise -> VPU bound",
+        {"env_steps_per_call": nf * steps,
+         "xla_step_flops_per_env": round(aflops / nf, 1)}))
+
+    out = {"what": ("measured roofline for the four hot paths (VERDICT "
+                    "r4 next #5); method + peaks in scripts/roofline.py"),
+           "device": str(jax.devices()[0]),
+           "peaks": {"mxu_bf16_flops": PEAK_MXU, "vpu_f32_flops": PEAK_VPU,
+                     "hbm_Bps": PEAK_HBM},
+           "rows": rows}
+    print(json.dumps(out, indent=1))
+    path = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                        "roofline.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"-> {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
