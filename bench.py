@@ -85,8 +85,22 @@ def bench_fused():
 
 
 def bench_training():
-    task = envs.make_task("hovering", ctl_mode="rate", num_envs=TRAIN_ENVS)
-    tr = ppo_mod.PPO(task, ppo_mod.PPOConfig())
+    """The DEFAULT-config training run: built exactly like the runner
+    builds it from the packaged ppo_hovering.yaml (VERDICT r4 next #3 —
+    use_fused_rollout ships on, so the headline training number is what
+    a default `airgym-tpu --train --task hovering` user gets; the pure
+    XLA-rollout trainer is measured separately as a ride-along)."""
+    import os
+
+    import yaml
+
+    from airgym_tpu.rl import runner as runner_mod
+    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "airgym_tpu", "configs", "ppo_hovering.yaml")
+    run = runner_mod.Runner()
+    run.load(yaml.safe_load(open(cfg_path)))
+    task, tr, _ = run._build({"ctl_mode": "rate",
+                              "num_envs": TRAIN_ENVS, "seed": 42})
     ts = tr.init(jax.random.PRNGKey(0))
     step = tr.make_train_epoch()
 
@@ -113,6 +127,7 @@ def bench_training():
     steps = TRAIN_ENVS * 24 * (TRAIN_EPOCHS - 1)
     return {
         "train_env_steps_per_sec": round(steps / train_s, 1),
+        "train_path": type(tr).__name__,
         "train_compile_s": round(compile_s, 1),
         "hovering_200epoch_wall_s": round(total_s, 1),
         "hovering_convergence_wall_s": (round(converged_at, 1)
@@ -122,15 +137,14 @@ def bench_training():
     }
 
 
-def bench_fused_training():
-    """PPO with the policy+env rollout fused into one Pallas kernel
-    (rl/fused_ppo.FusedHoveringPPO) — the framework's fast path for
-    state-based training. Same losses/updates as the standard trainer;
-    only the data-collection phase differs (ops/fused_rollout.py)."""
-    from airgym_tpu.rl.fused_ppo import FusedHoveringPPO
+def bench_xla_training():
+    """The pure XLA-rollout trainer (the fallback path for configs the
+    fused kernel cannot tile — non-rate modes, num_actors not a multiple
+    of 1024, separate/learned-sigma nets). Ride-along number; the
+    default-config headline is bench_training()."""
     epochs = 20
     task = envs.make_task("hovering", ctl_mode="rate", num_envs=TRAIN_ENVS)
-    tr = FusedHoveringPPO(task, ppo_mod.PPOConfig())
+    tr = ppo_mod.PPO(task, ppo_mod.PPOConfig())
     ts = tr.init(jax.random.PRNGKey(0))
     step = tr.make_train_epoch()
     ts, m = step(ts)
@@ -226,7 +240,7 @@ def main():
     sps = bench_env_steps()
     fused_msps = bench_fused()
     train = bench_training()
-    fused_train_sps = bench_fused_training()
+    xla_train_sps = bench_xla_training()
     vision_sps = bench_vision_training()
     avoid_sps = bench_avoid_training()
     out = {
@@ -238,7 +252,7 @@ def main():
     }
     out.update(train)
     out["fused_kernel_env_steps_per_sec_131072envs"] = fused_msps * 1e6
-    out["hovering_fused_train_env_steps_per_sec"] = fused_train_sps
+    out["hovering_xla_train_env_steps_per_sec"] = xla_train_sps
     out["planning_cnn_train_env_steps_per_sec_4096envs"] = vision_sps
     out["avoid_cnn_train_env_steps_per_sec_4096envs_h64"] = avoid_sps
     out["onchip_parity"] = bench_onchip_parity()

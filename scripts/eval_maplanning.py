@@ -30,12 +30,17 @@ from airgym_tpu.rl import runner as runner_mod      # noqa: E402
 from airgym_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
 
 
-def main(ckpt: str, smoke: bool = False, seed: int = 7) -> int:
+def main(ckpt: str, smoke: bool = False, seed: int = 7,
+         start_x=None, num_robots: int = 4, out_path=None,
+         scans: int = 4) -> int:
     enable_compilation_cache()
     num_envs = 4 if smoke else 256
     cap = 1600                       # episode_length_s 16 / dt 0.01
-    episodes = 1 if smoke else 4     # episode caps to scan through
+    episodes = 1 if smoke else scans  # episode caps to scan through
     kw = dict(cam_width=24, cam_height=20) if smoke else {}
+    if start_x is not None:
+        kw["start_x"] = float(start_x)
+    kw["num_robots"] = num_robots
     task = envs.make_task("maplanning", ctl_mode="rate",
                           num_envs=num_envs, **kw)
     tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(horizon=24),
@@ -91,6 +96,7 @@ def main(ckpt: str, smoke: bool = False, seed: int = 7) -> int:
     out = {
         "task": "maplanning",
         "checkpoint": os.path.basename(ckpt),
+        "start_x": start_x,
         "num_envs": num_envs,
         "num_robots": r,
         "seed": seed,
@@ -106,9 +112,24 @@ def main(ckpt: str, smoke: bool = False, seed: int = 7) -> int:
                 "robot_success ceiling ~ 1/num_robots by construction",
     }
     print(json.dumps(out))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"-> {out_path}")
     return 0
 
 
 if __name__ == "__main__":
-    a = [x for x in sys.argv[1:] if not x.startswith("--")]
-    main(a[0], smoke="--smoke" in sys.argv)
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("checkpoint")
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--start-x", type=float, default=None,
+                   help="curriculum start distance; omit = reference -8.5")
+    p.add_argument("--robots", type=int, default=4)
+    p.add_argument("--scans", type=int, default=4)
+    p.add_argument("--out", default=None)
+    a = p.parse_args()
+    main(a.checkpoint, smoke=a.smoke, seed=a.seed, start_x=a.start_x,
+         num_robots=a.robots, out_path=a.out, scans=a.scans)
