@@ -145,10 +145,15 @@ class Runner:
                 f"{getattr(task, 'obs_is_dict', False)})")
         trainer_cls = ppo_mod.PPO
         network_kw = network_kw_from_params(self.params)
-        # opt-in fused policy+env rollout kernel (config: use_fused_rollout)
-        # -- hand-written for the default shared-trunk fixed-sigma model
+        # fused policy+env rollout kernel (config: use_fused_rollout, ON
+        # in the shipped hovering/balloon/tracking YAMLs) — hand-written
+        # for the default shared-trunk fixed-sigma model. Single-device
+        # only: the Pallas kernel has no shard_map wrapper, so on a
+        # multi-chip mesh (run_train shards the env batch) the runner
+        # falls back to the XLA rollout, which shards transparently.
         if (cfg.get("use_fused_rollout") and ctl_mode == "rate"
                 and num_envs % 1024 == 0
+                and len(pmesh.make_mesh().devices.flat) == 1
                 and not network_kw.get("separate")
                 and network_kw.get("fixed_sigma", True)):
             from airgym_tpu.rl import fused_ppo

@@ -94,9 +94,17 @@ def test_cli_parses_reference_flags():
     assert cfg["params"]["seed"] == 7
 
 
-def test_fused_rollout_flag_selects_trainer():
+def test_fused_rollout_flag_selects_trainer(monkeypatch):
+    import types
+
+    from airgym_tpu.rl import runner as runner_mod
     from airgym_tpu.rl.runner import Runner
     from airgym_tpu.rl.fused_ppo import FusedHoveringPPO
+    # the fused kernel is single-device only; fake a 1-device mesh (the
+    # conftest backend exposes 8 virtual devices)
+    monkeypatch.setattr(
+        runner_mod.pmesh, "make_mesh",
+        lambda: types.SimpleNamespace(devices=np.zeros((1,))))
     cfg = tiny_cfg()
     cfg["params"]["config"]["use_fused_rollout"] = True
     r = Runner().load(cfg)
@@ -109,15 +117,20 @@ def test_fused_rollout_flag_selects_trainer():
     assert not isinstance(trainer, FusedHoveringPPO)
 
 
-def test_shipped_yamls_engage_fused_trainer():
+def test_shipped_yamls_engage_fused_trainer(monkeypatch):
     """VERDICT r4 next #3: the packaged hovering/tracking/balloon YAMLs
-    ship use_fused_rollout on, so the default install trains on the
-    fused-kernel fast path (at fused-tileable env counts)."""
+    ship use_fused_rollout on, so the default SINGLE-CHIP install trains
+    on the fused-kernel fast path (at fused-tileable env counts); on a
+    multi-device mesh the runner falls back to the XLA rollout (the
+    Pallas kernel has no shard_map wrapper)."""
     import os
+    import types
 
+    import numpy as np
     import yaml
 
     from airgym_tpu.rl import fused_ppo
+    from airgym_tpu.rl import runner as runner_mod
     from airgym_tpu.rl.runner import Runner
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     expected = {"ppo_hovering.yaml": fused_ppo.FusedHoveringPPO,
@@ -126,9 +139,18 @@ def test_shipped_yamls_engage_fused_trainer():
     for name, cls in expected.items():
         cfg = yaml.safe_load(open(os.path.join(
             repo, "airgym_tpu", "configs", name)))
+        # the conftest backend exposes 8 virtual devices -> fallback
         r = Runner().load(cfg)
         _, trainer, _ = r._build({"ctl_mode": "rate", "num_envs": 1024})
+        assert not isinstance(trainer, cls), (
+            f"{name}: fused must not engage on a multi-device mesh")
+        # single-device mesh -> the fused trainer engages
+        monkeypatch.setattr(
+            runner_mod.pmesh, "make_mesh",
+            lambda: types.SimpleNamespace(devices=np.zeros((1,))))
+        _, trainer, _ = r._build({"ctl_mode": "rate", "num_envs": 1024})
         assert isinstance(trainer, cls), name
+        monkeypatch.undo()
 
 
 def test_train_play_dispatch_matches_reference():
