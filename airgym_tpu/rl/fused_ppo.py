@@ -29,6 +29,11 @@ class FusedHoveringPPO(ppo_mod.PPO):
 
     fused_task = "hovering"
 
+    # set by the runner for multi-chip runs: a 1-D device mesh whose
+    # single axis shards the env batch (parallel/mesh.py). None or a
+    # 1-device mesh = plain single-device kernel call.
+    mesh = None
+
     def __init__(self, task, cfg=ppo_mod.PPOConfig(), network_kw=None):
         assert task.task_name == self.fused_task \
             and task.cfg.ctl_mode == "rate"
@@ -60,10 +65,8 @@ class FusedHoveringPPO(ppo_mod.PPO):
 
         pack = fr.pack_policy(ts.params, ts.obs_rms)
         packed = self._pack_env(ts.env_state)
-        packed_out, rec = fr.rollout_fused_policy(
-            packed, pack, seed, cfg.horizon,
-            obs_noise=self.task.cfg.obs_noise, task=self.fused_task,
-            motor_alpha=self._motor_alpha)
+        packed_out, rec = self._rollout_kernel(packed, pack, seed,
+                                               cfg.horizon)
 
         # unpack the trajectory record [H, rec_len, N]
         k = fr._TASK_OBS[self.fused_task]
@@ -147,6 +150,51 @@ class FusedHoveringPPO(ppo_mod.PPO):
         no success notion.  Fused variants of has_success tasks must
         override this (the kernel record carries no separate flag)."""
         return None
+
+    def _rollout_kernel(self, packed, pack, seed, horizon):
+        """Dispatch the Pallas rollout kernel, shard_map-wrapped over the
+        mesh's env axis when one is set.
+
+        Per-shard seeding reproduces the single-device call EXACTLY: the
+        kernel derives each tile's RNG stream as
+        ``seed + tile_id * 0x01000193`` (fused_rollout._kernel), so shard
+        d's seed is offset by ``d * tiles_per_shard * 0x01000193`` (mod
+        2^32 — int32 wraparound matches the kernel's uint32 cast) and its
+        local tiles 0..t-1 become global tiles d*t..(d+1)*t-1. Sharded
+        and unsharded rollouts are therefore the same computation, which
+        tests/test_multichip.py asserts numerically.
+        """
+        kw = dict(obs_noise=self.task.cfg.obs_noise, task=self.fused_task,
+                  motor_alpha=self._motor_alpha)
+        mesh = self.mesh
+        if mesh is None or mesh.devices.size <= 1:
+            return fr.rollout_fused_policy(packed, pack, seed, horizon,
+                                           **kw)
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        axis = mesh.axis_names[0]
+        ndev = int(mesh.devices.size)
+        n_shard = self.num_envs // ndev
+        assert n_shard % fr.TILE == 0, (
+            f"{self.num_envs} envs over {ndev} devices leaves {n_shard} "
+            f"per shard — not a multiple of the kernel tile {fr.TILE}")
+        tiles_per_shard = n_shard // fr.TILE
+        off = (tiles_per_shard * 0x01000193) & 0xFFFFFFFF
+        if off >= 2 ** 31:                     # two's-complement int32
+            off -= 2 ** 32
+
+        def body(seed_s, packed_s, pack_s):
+            d = jax.lax.axis_index(axis).astype(jnp.int32)
+            return fr.rollout_fused_policy(
+                packed_s, pack_s, seed_s + d * jnp.int32(off), horizon,
+                **kw)
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(None, axis), P()),
+            out_specs=(P(None, axis), P(None, None, axis)),
+            check_rep=False,
+        )(seed, packed, pack)
 
 
 class FusedBalloonPPO(FusedHoveringPPO):

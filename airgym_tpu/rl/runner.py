@@ -147,13 +147,15 @@ class Runner:
         network_kw = network_kw_from_params(self.params)
         # fused policy+env rollout kernel (config: use_fused_rollout, ON
         # in the shipped hovering/balloon/tracking YAMLs) — hand-written
-        # for the default shared-trunk fixed-sigma model. Single-device
-        # only: the Pallas kernel has no shard_map wrapper, so on a
-        # multi-chip mesh (run_train shards the env batch) the runner
-        # falls back to the XLA rollout, which shards transparently.
+        # for the default shared-trunk fixed-sigma model. On a multi-chip
+        # mesh the kernel runs shard_map-wrapped over the env axis
+        # (fused_ppo._rollout_kernel; sharded == unsharded exactly,
+        # tests/test_multichip.py), which needs each shard's env count to
+        # be a multiple of the kernel tile; otherwise fall back to the
+        # XLA rollout, which shards transparently at any batch size.
+        n_dev = len(pmesh.make_mesh().devices.flat)
         if (cfg.get("use_fused_rollout") and ctl_mode == "rate"
-                and num_envs % 1024 == 0
-                and len(pmesh.make_mesh().devices.flat) == 1
+                and num_envs % (1024 * n_dev) == 0
                 and not network_kw.get("separate")
                 and network_kw.get("fixed_sigma", True)):
             from airgym_tpu.rl import fused_ppo
@@ -257,6 +259,8 @@ class Runner:
         mesh = pmesh.make_mesh()
         if len(mesh.devices.flat) > 1:
             ts = pmesh.shard_env_batch(ts, mesh, trainer.num_envs)
+            # fused trainers shard_map their kernel over this mesh
+            trainer.mesh = mesh
         step = trainer.make_train_epoch()
 
         best_reward = -1e9

@@ -119,10 +119,10 @@ def test_fused_rollout_flag_selects_trainer(monkeypatch):
 
 def test_shipped_yamls_engage_fused_trainer(monkeypatch):
     """VERDICT r4 next #3: the packaged hovering/tracking/balloon YAMLs
-    ship use_fused_rollout on, so the default SINGLE-CHIP install trains
-    on the fused-kernel fast path (at fused-tileable env counts); on a
-    multi-device mesh the runner falls back to the XLA rollout (the
-    Pallas kernel has no shard_map wrapper)."""
+    ship use_fused_rollout on, so the default install trains on the
+    fused-kernel fast path whenever every mesh shard gets a whole number
+    of kernel tiles; otherwise the runner falls back to the XLA rollout
+    (which shards at any batch size)."""
     import os
     import types
 
@@ -139,12 +139,16 @@ def test_shipped_yamls_engage_fused_trainer(monkeypatch):
     for name, cls in expected.items():
         cfg = yaml.safe_load(open(os.path.join(
             repo, "airgym_tpu", "configs", name)))
-        # the conftest backend exposes 8 virtual devices -> fallback
         r = Runner().load(cfg)
+        # conftest backend = 8 virtual devices: 1024 envs cannot give
+        # every shard a whole tile -> XLA fallback ...
         _, trainer, _ = r._build({"ctl_mode": "rate", "num_envs": 1024})
         assert not isinstance(trainer, cls), (
-            f"{name}: fused must not engage on a multi-device mesh")
-        # single-device mesh -> the fused trainer engages
+            f"{name}: 1024 envs / 8 devices must fall back")
+        # ... while 8x1024 engages the shard_map-wrapped kernel
+        _, trainer, _ = r._build({"ctl_mode": "rate", "num_envs": 8192})
+        assert isinstance(trainer, cls), f"{name} @ 8192/8dev"
+        # single-device mesh -> engages at 1024
         monkeypatch.setattr(
             runner_mod.pmesh, "make_mesh",
             lambda: types.SimpleNamespace(devices=np.zeros((1,))))
