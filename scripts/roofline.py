@@ -19,8 +19,19 @@ Method:
     construction and the binding resource is VPU/MXU compute.
 
 Peaks (TPU v5e / "v5 lite", public specs): 197e12 bf16 MXU FLOP/s,
-~3.9e12 f32 VPU FLOP/s (8x128 lanes x 4 ALUs x ~0.94 GHz — elementwise
-code cannot touch the MXU number), 819e9 HBM B/s.
+~7.7e12 f32 VPU FLOP/s (8x128 lanes x 4 ALUs x 2 flops/FMA x ~0.94 GHz —
+elementwise code cannot touch the MXU number; the same FMA=2 convention
+XLA's flop counts use), 819e9 HBM B/s.
+
+Reading the results (benchmarks/roofline.json): a row whose achieved
+percentages are BOTH small is bound by neither classical roofline
+resource — at these reference-parity model sizes that means per-op
+dispatch/scheduling latency (the tiny-MLP hovering epoch) or
+lane-starvation (the vision CNN's 1->16->32->64 channels occupy a sliver
+of the 128-lane MXU; see BENCHMARKS.md's lane-starvation analysis). The
+comparison-heavy ray kernel's flop roofline is a LOWER bound on VPU
+occupancy: selects/mins/rolls cost VPU cycles the flop model doesn't
+count.
 
     python scripts/roofline.py            # real chip, ~10 min
 """
@@ -39,7 +50,7 @@ from airgym_tpu.rl import ppo as ppo_mod            # noqa: E402
 from airgym_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
 
 PEAK_MXU = 197e12        # bf16 FLOP/s
-PEAK_VPU = 3.9e12        # f32 elementwise FLOP/s (derivation in header)
+PEAK_VPU = 7.7e12        # f32 elementwise FMA FLOP/s (see header)
 PEAK_HBM = 819e9         # B/s
 
 
@@ -106,7 +117,10 @@ def main() -> int:
     rows.append(row(
         "hovering_xla_train_epoch_4096", flops, byts, secs, PEAK_VPU,
         "rollout scan + GAE + 5x minibatch Adam; tiny MLP [64,128,64] -> "
-        "elementwise-dominated, VPU peak used as the compute bound",
+        "elementwise-dominated, VPU peak used as the compute bound. Both "
+        "utilizations are small: at reference-parity model sizes the "
+        "epoch is dominated by per-op dispatch/scheduling latency, which "
+        "is exactly what the fused rollout kernel removes (last row)",
         {"env_steps_per_call": env_steps}))
 
     # 2. Planning vision train epoch (CNN encoder, frame dedup)
@@ -121,7 +135,11 @@ def main() -> int:
     rows.append(row(
         "planning_vision_train_epoch_4096", vflops, vbyts, vsecs, PEAK_MXU,
         "depth render + CNN encode (bf16 convs on MXU) + PPO updates; "
-        "compute bound = bf16 MXU peak",
+        "compute bound = bf16 MXU peak. Bound by NEITHER roofline "
+        "resource: the reference CNN's 1->16->32->64 channels occupy a "
+        "sliver of the 128-lane MXU (lane starvation — parity forbids "
+        "widening) and layer-boundary passes serialize; the measured "
+        "utilizations quantify BENCHMARKS.md's qualitative claim",
         {"env_steps_per_call": nv * 24}))
 
     # 3. Depth render, one frame at planning scale: Pallas fused kernel
@@ -153,7 +171,10 @@ def main() -> int:
         "depth_render_4096x212x120", rflops, out_bytes, rsecs_f, PEAK_VPU,
         "fused Pallas render+postprocess timed; FLOPs counted on the XLA "
         "ray-march twin; HBM bytes = the [N,W,H] f32 output (scene "
-        "params are KBs); elementwise ray math -> VPU bound",
+        "params are KBs); elementwise ray math -> VPU bound. The flop "
+        "roofline is a LOWER bound on VPU occupancy here: the ray code "
+        "is dominated by selects/mins/compares/rolls that cost VPU "
+        "cycles the flop model does not count",
         {"xla_twin_wall_ms": round(rsecs_x * 1e3, 2),
          "xla_twin_bytes_model_gb": round(rbyts / 1e9, 3)}))
 
