@@ -34,6 +34,14 @@ class FusedHoveringPPO(ppo_mod.PPO):
     # 1-device mesh = plain single-device kernel call.
     mesh = None
 
+    # fused UPDATE phase (ops/fused_update.py): all mini-epoch x
+    # minibatch Adam steps in one kernel with weights resident in VMEM.
+    # Single-device only (data parallelism needs per-minibatch gradient
+    # psums the kernel cannot issue); update() falls back to the XLA
+    # minibatch scan whenever the config leaves the kernel's supported
+    # surface.
+    use_fused_update = True
+
     def __init__(self, task, cfg=ppo_mod.PPOConfig(), network_kw=None):
         assert task.task_name == self.fused_task \
             and task.cfg.ctl_mode == "rate"
@@ -150,6 +158,65 @@ class FusedHoveringPPO(ppo_mod.PPO):
         no success notion.  Fused variants of has_success tasks must
         override this (the kernel record carries no separate flag)."""
         return None
+
+    def _can_fuse_update(self, dataset) -> bool:
+        cfg = self.cfg
+        return (self.use_fused_update
+                and self.mesh is None
+                and not isinstance(dataset["obs"], dict)
+                and not cfg.clip_value
+                and not cfg.use_smooth_clamp
+                and cfg.lr_schedule in ("adaptive", "fixed", "linear")
+                and cfg.normalize_input
+                and self.model.fixed_sigma
+                and not self.model.separate
+                and tuple(self.model.units) == (64, 128, 64)
+                and self.batch_size % self.num_minibatches == 0)
+
+    def update(self, ts: ppo_mod.TrainState, dataset):
+        if not self._can_fuse_update(dataset):
+            return super().update(ts, dataset)
+        from airgym_tpu.ops import fused_update as fu
+        cfg = self.cfg
+
+        if cfg.lr_schedule == "linear":
+            mul = jnp.maximum(0.0, 1.0 - ts.epoch / cfg.max_epochs)
+            ts = ts._replace(lr=jnp.maximum(
+                cfg.min_lr, cfg.learning_rate * mul).astype(jnp.float32))
+
+        obs_n = ts.obs_rms.normalize(dataset["obs"])
+        pack = fu.pack_update(ts.params)
+        adam_state = ts.opt_state[0]
+        m_pack = fu.pack_update({"params": adam_state.mu["params"]})
+        v_pack = fu.pack_update({"params": adam_state.nu["params"]})
+        kcfg = dict(e_clip=cfg.e_clip, critic_coef=cfg.critic_coef,
+                    bounds_coef=cfg.bounds_loss_coef,
+                    entropy_coef=cfg.entropy_coef,
+                    truncate_grads=cfg.truncate_grads,
+                    grad_norm=cfg.grad_norm,
+                    adaptive_lr=cfg.lr_schedule == "adaptive",
+                    kl_threshold=cfg.kl_threshold,
+                    min_lr=cfg.min_lr, max_lr=cfg.max_lr)
+        w2, m2, v2, lr2, t2, metrics = fu.fused_update(
+            obs_n, dataset["actions"], dataset["adv"],
+            dataset["returns"], dataset["neglogp"], dataset["mus_init"],
+            dataset["sigmas_init"][0].reshape(-1, 1),
+            pack, m_pack, v_pack,
+            ts.lr.reshape(1).astype(jnp.float32),
+            adam_state.count.reshape(1).astype(jnp.float32),
+            nmb=self.num_minibatches, mini_epochs=cfg.mini_epochs,
+            cfg=kcfg)
+
+        new_params = fu.unpack_update(w2, ts.params)
+        new_adam = adam_state._replace(
+            count=t2[0].astype(adam_state.count.dtype).reshape(
+                adam_state.count.shape),
+            mu=fu.unpack_update(m2, ts.params),
+            nu=fu.unpack_update(v2, ts.params))
+        ts = ts._replace(params=new_params,
+                         opt_state=(new_adam,) + tuple(ts.opt_state[1:]),
+                         lr=lr2[0])
+        return ts, metrics
 
     def _rollout_kernel(self, packed, pack, seed, horizon):
         """Dispatch the Pallas rollout kernel, shard_map-wrapped over the

@@ -60,6 +60,8 @@ PARITY_TESTS = [
     "tests/test_fused_onchip.py::test_fused_policy_rollout_parity_on_real_tpu",
     "tests/test_fused_onchip.py::test_fused_balloon_onestep_parity_on_real_tpu",
     "tests/test_fused_onchip.py::test_fused_tracking_onestep_parity_on_real_tpu",
+    # fused UPDATE kernel (the default trainer's whole minibatch phase)
+    "tests/test_fused_onchip.py::test_fused_update_parity_on_real_tpu",
 ]
 
 

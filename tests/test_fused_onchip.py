@@ -212,3 +212,59 @@ def test_fused_tracking_onestep_parity_on_real_tpu():
         "tracking", "fh.pack_state(env_state.core)", obs_expr,
         rew_row=58, token="ONCHIP_FUSED_TRACKING OK")
     run_tpu_child(code, "ONCHIP_FUSED_TRACKING OK")
+
+
+@pytest.mark.slow
+def test_fused_update_parity_on_real_tpu():
+    """Mosaic-compiled fused UPDATE kernel vs the XLA minibatch scan on
+    the same chip: one full update phase over a real rollout dataset
+    (mirrors tests/test_fused_update.py's interpret check)."""
+    code = TPU_GATE + (
+        "import airgym_tpu.envs as envs\n"
+        "from airgym_tpu.ops import fused_update as fu\n"
+        "from airgym_tpu.ops import fused_rollout as fr\n"
+        "from airgym_tpu.rl import ppo as ppo_mod\n"
+        "from airgym_tpu.rl.fused_ppo import FusedHoveringPPO\n"
+        "task = envs.make_task('hovering', ctl_mode='rate',\n"
+        "                      num_envs=fr.TILE)\n"
+        "cfg = ppo_mod.PPOConfig(horizon=4, minibatch_size=512,\n"
+        "                        mini_epochs=3)\n"
+        "tr = ppo_mod.PPO(task, cfg)\n"
+        "ts = tr.init(jax.random.PRNGKey(0))\n"
+        "ts = ts._replace(obs=tr._join_obs(ts.obs, ts.env_state))\n"
+        "ts, traj, last_value, _ = jax.jit(tr.rollout)(ts)\n"
+        "values, adv, returns = tr.compute_gae(ts, traj, last_value)\n"
+        "ts = ts._replace(obs_rms=ts.obs_rms.update(traj.prenorm))\n"
+        "vr = ts.value_rms.update(values).update(returns)\n"
+        "ts = ts._replace(value_rms=vr)\n"
+        "vm, rm = vr.normalize(values), vr.normalize(returns)\n"
+        "adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)\n"
+        "flat = lambda x: jnp.swapaxes(x, 0, 1).reshape(\n"
+        "    (tr.batch_size,) + x.shape[2:])\n"
+        "ds = {'obs': flat(traj.obs), 'actions': flat(traj.actions),\n"
+        "      'neglogp': flat(traj.neglogp), 'values': flat(vm),\n"
+        "      'returns': flat(rm), 'adv': flat(adv),\n"
+        "      'mus_init': flat(traj.mus),\n"
+        "      'sigmas_init': flat(traj.sigmas)}\n"
+        "ts_ref, m_ref = jax.jit(tr.update)(ts, dict(ds))\n"
+        "ftr = FusedHoveringPPO(task, cfg)\n"
+        "ts_f, m_f = jax.jit(ftr.update)(ts, dict(ds))\n"
+        "ref = fu.pack_update(ts_ref.params)\n"
+        "got = fu.pack_update(ts_f.params)\n"
+        "worst = 0.0\n"
+        "for f in fu._FIELDS:\n"
+        "    a = np.asarray(getattr(ref, f)); b = np.asarray(\n"
+        "        getattr(got, f))\n"
+        "    rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-3)\n"
+        "    worst = max(worst, float(rel))\n"
+        "    print(f, 'rel diff', rel)\n"
+        "assert worst < 5e-3, worst\n"
+        "import numpy as _np\n"
+        "_np.testing.assert_allclose(float(ts_f.lr), float(ts_ref.lr),\n"
+        "                            rtol=1e-6)\n"
+        "for k in ('loss', 'kl', 'a_loss', 'c_loss', 'clip_frac'):\n"
+        "    _np.testing.assert_allclose(float(m_f[k]), float(m_ref[k]),\n"
+        "                                rtol=2e-2, atol=1e-3, err_msg=k)\n"
+        "print('ONCHIP_FUSED_UPDATE OK')\n"
+    )
+    run_tpu_child(code, "ONCHIP_FUSED_UPDATE OK")
