@@ -171,7 +171,11 @@ class FusedHoveringPPO(ppo_mod.PPO):
                 and self.model.fixed_sigma
                 and not self.model.separate
                 and tuple(self.model.units) == (64, 128, 64)
-                and self.batch_size % self.num_minibatches == 0)
+                and self.batch_size % self.num_minibatches == 0
+                # the mu/sigma write-back scratch is 8 rows x batch f32
+                # in VMEM; cap it at 8 MB so weights + data blocks fit
+                # the 16 MB VMEM budget at any env count
+                and self.batch_size <= 262144)
 
     def update(self, ts: ppo_mod.TrainState, dataset):
         if not self._can_fuse_update(dataset):
