@@ -266,6 +266,8 @@ class Runner:
         best_reward = -1e9
         best_success = 0.0   # save only once the task actually succeeds
         had_success_metric = False
+        pending_best = None          # on-device snapshots, see below
+        pending_best_success = None
         start = time.time()
         epoch = int(ts.epoch)
         # periodic in-training episode dumps (rank-0): the headless
@@ -338,8 +340,16 @@ class Runner:
                 ck_dir = os.path.join(run_dir, "nn")
                 if epoch >= cfg.save_best_after and mean_rew > best_reward:
                     best_reward = mean_rew
-                    ckpt.save(os.path.join(ck_dir, name) + ".ckpt",
-                              self._resume_state(ts))
+                    # snapshot ON DEVICE (jnp.copy per leaf — the train
+                    # epoch donates ts buffers, so a bare reference would
+                    # die next epoch) and defer the disk write: each
+                    # ckpt.save device_gets every leaf over the tunneled
+                    # chip (~1 s), which dominated short runs when the
+                    # reward improved at most logged epochs. Flushed at
+                    # save_frequency cadence, on score_to_win, and at
+                    # run end — same checkpoints, amortized transfers.
+                    pending_best = jax.tree.map(jnp.copy,
+                                                self._resume_state(ts))
                 # has_success tasks also keep a best-by-SUCCESS ckpt: the
                 # reward optimum can drift from the task-achievement
                 # optimum (survive-vs-reach — reward keeps rising from
@@ -363,12 +373,13 @@ class Runner:
                         and epoch >= cfg.save_best_after
                         and float(m_host[gate_key]) > best_success):
                     best_success = float(m_host[gate_key])
-                    ckpt.save(
-                        os.path.join(ck_dir, name) + "_best_success.ckpt",
-                        self._resume_state(ts))
+                    pending_best_success = jax.tree.map(
+                        jnp.copy, self._resume_state(ts))
                 if cfg.save_frequency and epoch % cfg.save_frequency == 0:
                     self.save(trainer, ts, os.path.join(
                         ck_dir, f"last_{name}_ep_{epoch}"))
+                    pending_best, pending_best_success = self._flush_best(
+                        ck_dir, name, pending_best, pending_best_success)
                 if viz_every and epoch % viz_every == 0:
                     self._dump_training_viz(task, trainer, ts, run_dir,
                                             epoch)
@@ -376,8 +387,10 @@ class Runner:
                     break
 
         if pmesh.is_main_process():
-            self.save(trainer, ts,
-                      os.path.join(run_dir, "nn", f"last_{name}"))
+            ck_dir = os.path.join(run_dir, "nn")
+            self._flush_best(ck_dir, name, pending_best,
+                             pending_best_success)
+            self.save(trainer, ts, os.path.join(ck_dir, f"last_{name}"))
         if writer is not None:
             writer.close()
         total = time.time() - start
@@ -388,6 +401,17 @@ class Runner:
                     "wall_time_s": total, "run_dir": run_dir,
                     **({"best_success": best_success}
                        if had_success_metric else {})}
+
+    def _flush_best(self, ck_dir: str, name: str, pending_best,
+                    pending_best_success):
+        """Write any pending on-device best snapshots to disk; returns
+        (None, None) so callers clear their pending state."""
+        if pending_best is not None:
+            ckpt.save(os.path.join(ck_dir, name) + ".ckpt", pending_best)
+        if pending_best_success is not None:
+            ckpt.save(os.path.join(ck_dir, name) + "_best_success.ckpt",
+                      pending_best_success)
+        return None, None
 
     def _dump_training_viz(self, task, trainer, ts, run_dir: str,
                            epoch: int, steps: int = 200,
