@@ -13,7 +13,12 @@ unit tests:
 
 Writes benchmarks/soak/hovering_soak.json. Takes ~15-25 min on the chip:
 
-    python scripts/soak_hovering.py [epochs]
+    python scripts/soak_hovering.py [epochs] [--fused]
+
+--fused runs the same protocol through the DEFAULT shipped trainer
+(FusedHoveringPPO: fused rollout + fused update kernels) and writes
+benchmarks/soak/hovering_soak_fused.json — the r5 headline path soaked
+past 2^32 frames with the same mid-run bitwise-restore check.
 """
 import json
 import os
@@ -43,10 +48,14 @@ def tree_equal(a, b) -> bool:
         for x, y in zip(la, lb))
 
 
-def main(epochs: int) -> int:
+def main(epochs: int, fused: bool = False) -> int:
     enable_compilation_cache()
     task = envs.make_task("hovering", ctl_mode="rate", num_envs=NUM_ENVS)
-    tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(horizon=HORIZON))
+    if fused:
+        from airgym_tpu.rl.fused_ppo import FusedHoveringPPO
+        tr = FusedHoveringPPO(task, ppo_mod.PPOConfig(horizon=HORIZON))
+    else:
+        tr = ppo_mod.PPO(task, ppo_mod.PPOConfig(horizon=HORIZON))
     ts = tr.init(jax.random.PRNGKey(0))
     step = tr.make_train_epoch()
 
@@ -101,6 +110,7 @@ def main(epochs: int) -> int:
     count = float(np.asarray(ts.obs_rms.count))
     result = {
         "task": "hovering", "num_envs": NUM_ENVS, "horizon": HORIZON,
+        "trainer": type(tr).__name__,
         "epochs": epochs,
         "frames_total": frames,
         "frames_expected": epochs * FRAMES_PER_EPOCH,
@@ -122,7 +132,8 @@ def main(epochs: int) -> int:
     assert result["frames_total"] == result["frames_expected"], result
     assert result["crossed_2_32"] and hi_word == 1, result
     assert result["obs_rms_count_ge_1e9"] and result["obs_rms_finite"]
-    out = os.path.join(out_dir, "hovering_soak.json")
+    out = os.path.join(out_dir, "hovering_soak_fused.json" if fused
+                       else "hovering_soak.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     os.remove(ckpt_path)
@@ -131,4 +142,6 @@ def main(epochs: int) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 44000))
+    a = [x for x in sys.argv[1:] if not x.startswith("--")]
+    sys.exit(main(int(a[0]) if a else 44000,
+                  fused="--fused" in sys.argv))
