@@ -118,7 +118,12 @@ def bench_training():
     converged_at = None
     for i in range(2, TRAIN_EPOCHS + 1):
         ts, m = step(ts)
-        if converged_at is None and i % 10 == 0:
+        # convergence probe every 50 epochs: each host fetch over the
+        # tunnel costs ~30-100 ms, and at ~2.6 ms fused epochs a
+        # 10-epoch cadence halved the measured throughput (the 4.3B-
+        # frame soak shows the device sustains 38M steps/s when epochs
+        # are enqueued back to back)
+        if converged_at is None and i % 50 == 0:
             if float(m["mean_ep_length"]) > CONVERGED_EP_LEN:
                 converged_at = time.perf_counter() - t_start
     float(m["mean_reward"])
