@@ -129,3 +129,31 @@ def test_fused_trainer_epoch_end_to_end_with_fused_update():
             assert np.isfinite(float(m[k])), k
     finally:
         fr.rollout_fused_policy = orig
+
+
+def test_fused_update_single_minibatch_and_fixed_lr():
+    """Edge configs: one minibatch spanning the whole batch (nmb=1) and
+    lr_schedule='fixed' (the kernel's adaptive branch off)."""
+    from airgym_tpu.ops import fused_rollout as fr
+    task = envs.make_task("hovering", ctl_mode="rate", num_envs=fr.TILE)
+    cfg = ppo_mod.PPOConfig(horizon=4, minibatch_size=fr.TILE * 4,
+                            mini_epochs=2, lr_schedule="fixed")
+    tr = ppo_mod.PPO(task, cfg)
+    ftr = FusedHoveringPPO(task, cfg)
+    ts0 = tr.init(jax.random.PRNGKey(2))
+    ts, ds = build_dataset(tr, ts0)
+    assert tr.num_minibatches == 1
+
+    ts_ref, m_ref = jax.jit(tr.update)(ts, dict(ds))
+    ts_f, m_f = jax.jit(ftr.update)(ts, dict(ds))
+    # fixed schedule: lr untouched by both paths
+    np.testing.assert_allclose(float(ts_f.lr), float(ts.lr))
+    np.testing.assert_allclose(float(ts_ref.lr), float(ts.lr))
+    ref, got = fu.pack_update(ts_ref.params), fu.pack_update(ts_f.params)
+    for f in fu._FIELDS:
+        a, b = np.asarray(getattr(ref, f)), np.asarray(getattr(got, f))
+        scale = max(np.abs(a).max(), 1e-3)
+        assert np.abs(a - b).max() < 2e-3 * scale + 1e-5, (
+            f, np.abs(a - b).max())
+    np.testing.assert_allclose(float(m_f["kl"]), float(m_ref["kl"]),
+                               rtol=5e-3, atol=5e-4)
